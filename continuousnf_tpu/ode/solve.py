@@ -1,0 +1,374 @@
+"""Adaptive / fixed-step explicit RK integration under jit.
+
+Everything operates on a single flat state vector (pytree states are raveled
+once at the boundary), so the controller math is a handful of fused
+vector ops — the per-step cost is dominated by the user's vector field, which
+is where the MXU work lives.
+
+Semantics mirror the reference's use of `SciMLBase.solve`
+(`/root/reference/src/base_icnf.jl:137-143`): one solve advances the *entire*
+batch with a single error-controlled time grid (batch-global step control,
+the "MatrixMode" behavior), only the final state is kept
+(`save_everystep=false`), and tolerances default to the README-recommended
+values (`/root/reference/README.md:61-67`).
+
+Differentiation strategies (`Adjoint`):
+  * BACKSOLVE — continuous adjoint via `jax.custom_vjp`: re-integrate the
+    state backward together with the adjoint ODE (O(1) memory;
+    optimize-then-discretize).  See `adjoint.py`.
+  * DIRECT — bounded `lax.scan` over solver steps with masked updates and
+    per-step rematerialization (discretize-then-optimize; exact gradients of
+    the discrete solution).
+  * NONE — `lax.while_loop` forward only (inference / inside backward).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+from ..types import Adjoint, SolverOptions
+from .tableaus import TABLEAUS, ButcherTableau
+
+# Step-size controller constants (standard Hairer/OrdinaryDiffEq-style values).
+_SAFETY = 0.9
+_QMIN = 0.2
+_QMAX = 10.0
+_EEST_FLOOR = 1.0e-4  # floor on stored error estimate for the PI history term
+
+
+class StepState(NamedTuple):
+    """Carry of the adaptive loop (all arrays, while_loop/scan compatible)."""
+
+    t: jax.Array
+    y: jax.Array
+    dt: jax.Array
+    k1: jax.Array  # f(t, y) — FSAL register
+    eest_prev: jax.Array
+    steps: jax.Array
+    accepted: jax.Array
+
+
+class SolveStats(NamedTuple):
+    steps: jax.Array  # total attempted steps
+    accepted: jax.Array  # accepted steps
+    nfe: jax.Array  # vector-field evaluations
+
+
+def _rms_norm(x: jax.Array) -> jax.Array:
+    return jnp.sqrt(jnp.mean(jnp.square(x)))
+
+
+def _error_estimate(err: jax.Array, y: jax.Array, y_new: jax.Array, rtol, atol) -> jax.Array:
+    """Hairer scaled error norm: sqrt(mean((err / (atol + rtol*max(|y|,|y_new|)))^2))."""
+    sc = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_new))
+    return _rms_norm(err / sc)
+
+
+def _rk_step(
+    f: Callable[[jax.Array, jax.Array], jax.Array],
+    tab: ButcherTableau,
+    t: jax.Array,
+    dt: jax.Array,
+    y: jax.Array,
+    k1: jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One explicit RK step.  Returns (y_new, err, k_last).
+
+    The stage loop is unrolled at trace time (<= 7 stages); XLA fuses the
+    axpy chains.  For FSAL tableaus `k_last` is f at the new point.
+    """
+    dtype = y.dtype
+    ks = [k1]
+    for i in range(1, tab.num_stages):
+        yi = y
+        for j, aij in enumerate(tab.a[i]):
+            if aij != 0.0:
+                yi = yi + (dt * jnp.asarray(aij, dtype)) * ks[j]
+        ks.append(f(t + jnp.asarray(tab.c[i], dtype) * dt, yi))
+    y_new = y
+    for i, bi in enumerate(tab.b):
+        if bi != 0.0:
+            y_new = y_new + (dt * jnp.asarray(bi, dtype)) * ks[i]
+    if tab.btilde is not None:
+        err = jnp.zeros_like(y)
+        for i, bti in enumerate(tab.btilde):
+            if bti != 0.0:
+                err = err + (dt * jnp.asarray(bti, dtype)) * ks[i]
+    else:
+        err = jnp.zeros_like(y)
+    return y_new, err, ks[-1]
+
+
+def _initial_step_size(
+    f, t0, y0, f0, tdir, order: int, rtol, atol, t_span_len
+) -> jax.Array:
+    """Hairer's automatic initial step selection (Hairer, Norsett, Wanner II.4)."""
+    dtype = y0.dtype
+    sc = atol + rtol * jnp.abs(y0)
+    d0 = _rms_norm(y0 / sc)
+    d1 = _rms_norm(f0 / sc)
+    small = jnp.asarray(1e-6, dtype)
+    h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), small, 0.01 * d0 / d1)
+    h0 = jnp.minimum(h0, t_span_len)
+    y1 = y0 + tdir * h0 * f0
+    f1 = f(t0 + tdir * h0, y1)
+    d2 = _rms_norm((f1 - f0) / sc) / h0
+    dmax = jnp.maximum(d1, d2)
+    h1 = jnp.where(
+        dmax <= 1e-15,
+        jnp.maximum(small, h0 * 1e-3),
+        (0.01 / dmax) ** (1.0 / (order + 1)),
+    )
+    h = jnp.minimum(jnp.minimum(100.0 * h0, h1), t_span_len)
+    return (tdir * h).astype(dtype)
+
+
+def _controller_factors(order: int):
+    """PI controller exponents (OrdinaryDiffEq-style defaults for explicit RK)."""
+    beta1 = 7.0 / (10.0 * order)
+    beta2 = 2.0 / (5.0 * order)
+    return beta1, beta2
+
+
+def _attempt_step(f, tab: ButcherTableau, state: StepState, t1, tdir, rtol, atol):
+    """Shared accept/reject + PI-controller logic for one attempted step."""
+    t, y, dt, k1, eest_prev, steps, accepted = state
+    dtype = y.dtype
+    beta1, beta2 = _controller_factors(tab.order)
+
+    remaining = jnp.abs(t1 - t)
+    is_last = jnp.abs(dt) >= remaining
+    dt_use = tdir * jnp.minimum(jnp.abs(dt), remaining)
+
+    y_new, err, k_last = _rk_step(f, tab, t, dt_use, y, k1)
+    # The error estimate only drives control flow (accept + step size); it must
+    # not carry gradients — in the DIRECT (scan) path a masked no-op step has
+    # dt=0 => err=0, and d/dx sqrt(x)|_0 = inf would poison the cotangents.
+    eest = jax.lax.stop_gradient(_error_estimate(err, y, y_new, rtol, atol))
+    finite = jnp.isfinite(eest) & jnp.all(jnp.isfinite(y_new))
+    accept = (eest <= 1.0) & finite
+
+    # PI controller: growth factor on accept, plain shrink on reject.
+    eest_c = jnp.maximum(eest, jnp.asarray(_EEST_FLOOR, dtype))
+    q_acc = _SAFETY * eest_c ** (-beta1) * eest_prev ** (beta2)
+    q_acc = jnp.where(jnp.isfinite(q_acc), q_acc, _QMIN)
+    q_rej = _SAFETY * eest_c ** (-1.0 / tab.order)
+    q_rej = jnp.where(jnp.isfinite(q_rej), q_rej, _QMIN)
+    q_rej = jnp.where(finite, q_rej, jnp.asarray(_QMIN, dtype))
+    dt_next = jnp.where(
+        accept,
+        dt_use * jnp.clip(q_acc, _QMIN, _QMAX),
+        dt_use * jnp.clip(q_rej, _QMIN, 1.0),
+    )
+
+    t_next = jnp.where(accept, jnp.where(is_last, t1, t + dt_use), t)
+    y_next = jnp.where(accept, y_new, y)
+    if tab.fsal:
+        k1_next = jnp.where(accept, k_last, k1)
+        extra_nfe = 0
+    else:
+        # Non-FSAL: recompute f at the (possibly new) point for the next step.
+        k1_next = jnp.where(accept, f(t_next, y_next), k1)
+        extra_nfe = 1
+
+    new_state = StepState(
+        t=t_next,
+        y=y_next,
+        dt=dt_next,
+        k1=k1_next,
+        eest_prev=jnp.where(accept, eest_c, eest_prev),
+        steps=steps + 1,
+        accepted=accepted + accept.astype(steps.dtype),
+    )
+    nfe_per_attempt = (tab.num_stages - 1) + extra_nfe
+    return new_state, nfe_per_attempt
+
+
+def _solve_adaptive_while(f, tab, y0, t0, t1, rtol, atol, max_steps, dt0):
+    """Forward adaptive solve in a `lax.while_loop` (not reverse-differentiable)."""
+    dtype = y0.dtype
+    t0 = jnp.asarray(t0, dtype)
+    t1 = jnp.asarray(t1, dtype)
+    tdir = jnp.sign(t1 - t0)
+    span = jnp.abs(t1 - t0)
+
+    f0 = f(t0, y0)
+    if dt0 is None:
+        dt_init = _initial_step_size(f, t0, y0, f0, tdir, tab.order, rtol, atol, span)
+    else:
+        dt_init = tdir * jnp.abs(jnp.asarray(dt0, dtype))
+
+    init = StepState(
+        t=t0,
+        y=y0,
+        dt=dt_init,
+        k1=f0,
+        eest_prev=jnp.asarray(1.0, dtype),
+        steps=jnp.asarray(0, jnp.int32),
+        accepted=jnp.asarray(0, jnp.int32),
+    )
+
+    def cond(state: StepState):
+        unfinished = (state.t - t1) * tdir < 0
+        return unfinished & (state.steps < max_steps)
+
+    def body(state: StepState):
+        new_state, _ = _attempt_step(f, tab, state, t1, tdir, rtol, atol)
+        return new_state
+
+    final = jax.lax.while_loop(cond, body, init)
+    nfe_per = (tab.num_stages - 1) + (0 if tab.fsal else 1)
+    stats = SolveStats(
+        steps=final.steps,
+        accepted=final.accepted,
+        nfe=final.steps * nfe_per + (2 if dt0 is None else 1),
+    )
+    return final.y, stats
+
+
+def _solve_adaptive_scan(f, tab, y0, t0, t1, rtol, atol, max_steps, dt0):
+    """Adaptive solve over a bounded, reverse-differentiable `lax.scan`.
+
+    Every iteration runs one attempted step; once the integration reaches t1
+    the carry passes through unchanged (the step compute is wasted but the
+    shape stays static — the price of discretize-then-optimize under XLA).
+    Each step is rematerialized (`jax.checkpoint`) so backprop memory is
+    O(max_steps) small carries rather than O(max_steps) stage stacks.
+    """
+    dtype = y0.dtype
+    t0 = jnp.asarray(t0, dtype)
+    t1 = jnp.asarray(t1, dtype)
+    tdir = jnp.sign(t1 - t0)
+    span = jnp.abs(t1 - t0)
+
+    f0 = f(t0, y0)
+    if dt0 is None:
+        dt_init = _initial_step_size(f, t0, y0, f0, tdir, tab.order, rtol, atol, span)
+    else:
+        dt_init = tdir * jnp.abs(jnp.asarray(dt0, dtype))
+
+    init = StepState(
+        t=t0,
+        y=y0,
+        dt=dt_init,
+        k1=f0,
+        eest_prev=jnp.asarray(1.0, dtype),
+        steps=jnp.asarray(0, jnp.int32),
+        accepted=jnp.asarray(0, jnp.int32),
+    )
+
+    @jax.checkpoint
+    def scan_body(state: StepState, _):
+        done = (state.t - t1) * tdir >= 0
+        new_state, _ = _attempt_step(f, tab, state, t1, tdir, rtol, atol)
+        out = jax.tree.map(lambda a, b: jnp.where(done, a, b), state, new_state)
+        return out, None
+
+    final, _ = jax.lax.scan(scan_body, init, None, length=max_steps)
+    nfe_per = (tab.num_stages - 1) + (0 if tab.fsal else 1)
+    stats = SolveStats(
+        steps=final.steps,
+        accepted=final.accepted,
+        nfe=final.steps * nfe_per + (2 if dt0 is None else 1),
+    )
+    return final.y, stats
+
+
+def _solve_fixed_scan(f, tab, y0, t0, t1, num_steps: int):
+    """Fixed-step integration via `lax.scan` (reverse-differentiable, remat'd)."""
+    dtype = y0.dtype
+    t0 = jnp.asarray(t0, dtype)
+    t1 = jnp.asarray(t1, dtype)
+    dt = (t1 - t0) / num_steps
+
+    @jax.checkpoint
+    def scan_body(carry, i):
+        t, y = carry
+        k1 = f(t, y)
+        y_new, _, _ = _rk_step(f, tab, t, dt, y, k1)
+        return (t0 + dt * (i.astype(dtype) + 1.0), y_new), None
+
+    (tf, yf), _ = jax.lax.scan(scan_body, (t0, y0), jnp.arange(num_steps))
+    stats = SolveStats(
+        steps=jnp.asarray(num_steps, jnp.int32),
+        accepted=jnp.asarray(num_steps, jnp.int32),
+        nfe=jnp.asarray(num_steps * tab.num_stages, jnp.int32),
+    )
+    return yf, stats
+
+
+def _solve_forward_flat(func_flat, opts: SolverOptions, y0f, t0, t1, args):
+    """Dispatch the non-custom-vjp solve paths on the flat state."""
+    tab = TABLEAUS[opts.method]
+
+    def f(t, yf):
+        return func_flat(yf, t, args)
+
+    if opts.fixed_num_steps is not None:
+        return _solve_fixed_scan(f, tab, y0f, t0, t1, opts.fixed_num_steps)
+    if tab.btilde is None:
+        raise ValueError(
+            f"method {opts.method!r} has no embedded error estimate; "
+            "set SolverOptions.fixed_num_steps for fixed-step integration"
+        )
+    if opts.adjoint == Adjoint.DIRECT:
+        return _solve_adaptive_scan(
+            f, tab, y0f, t0, t1, opts.rtol, opts.atol, opts.direct_max_steps, opts.dt0
+        )
+    return _solve_adaptive_while(
+        f, tab, y0f, t0, t1, opts.rtol, opts.atol, opts.max_steps, opts.dt0
+    )
+
+
+def odeint_with_stats(
+    func: Callable[[jax.Array, Any, Any], Any],
+    y0: Any,
+    t0,
+    t1,
+    args: Any = None,
+    opts: SolverOptions = SolverOptions(),
+) -> Tuple[Any, SolveStats]:
+    """Integrate `dy/dt = func(t, y, args)` from t0 to t1 (t1 < t0 runs backward).
+
+    `y0` and `args` are arbitrary (all-float) pytrees.  Returns the final
+    state and solve statistics (attempted/accepted steps, NFE).  Gradient
+    behavior is selected by `opts.adjoint`; for BACKSOLVE the stats carry no
+    gradients.
+    """
+    y0f, unravel = ravel_pytree(y0)
+    t0 = jnp.asarray(t0, y0f.dtype)
+    t1 = jnp.asarray(t1, y0f.dtype)
+
+    def func_flat(yf, t, args_):
+        dy = func(t, unravel(yf), args_)
+        dyf, _ = ravel_pytree(dy)
+        return dyf
+
+    if opts.adjoint == Adjoint.BACKSOLVE and opts.fixed_num_steps is None:
+        from .adjoint import odeint_backsolve_flat
+
+        yf, stats = odeint_backsolve_flat(func_flat, opts, y0f, t0, t1, args)
+    else:
+        yf, stats = _solve_forward_flat(func_flat, opts, y0f, t0, t1, args)
+    return unravel(yf), stats
+
+
+def odeint(
+    func: Callable[[jax.Array, Any, Any], Any],
+    y0: Any,
+    t0,
+    t1,
+    args: Any = None,
+    opts: SolverOptions = SolverOptions(),
+) -> Any:
+    """Like :func:`odeint_with_stats` but returns only the final state."""
+    yT, _ = odeint_with_stats(func, y0, t0, t1, args, opts)
+    return yT
+
+
+__all__ = ["odeint", "odeint_with_stats", "SolveStats"]

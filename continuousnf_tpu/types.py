@@ -1,0 +1,156 @@
+"""Core type system: modes, compute modes, solver options.
+
+TPU-native re-design of the reference's type layer
+(`/root/reference/src/types.jl:1-36`).  The reference encodes Test/Train as
+singleton types and the trace-estimation strategy as a 4-way ComputeMode type
+tree (`DIVecJacVectorMode` / `DIJacVecVectorMode` / `DIVecJacMatrixMode` /
+`DIJacVecMatrixMode`, each wrapping an AD backend).  Here all of that becomes
+hashable frozen dataclasses used as *static* (trace-time) configuration for
+jit: JAX resolves every branch at trace time, so there is no runtime dispatch
+cost, and the reference's INPLACE axis disappears entirely (XLA owns buffer
+reuse).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional, Tuple
+
+
+class Mode(enum.Enum):
+    """Evaluation mode (reference `src/types.jl:1-3`).
+
+    TEST  -> exact trace (deterministic density), no steering jitter.
+    TRAIN -> stochastic Hutchinson trace + regularizer accumulators + steering.
+    """
+
+    TEST = "test"
+    TRAIN = "train"
+
+
+#: Convenience aliases mirroring the reference's exported singletons.
+TestMode = Mode.TEST
+TrainMode = Mode.TRAIN
+
+
+class ADMode(enum.Enum):
+    """AD direction for trace probes (reference VecJac=reverse, JacVec=forward)."""
+
+    VJP = "vjp"  # eps^T J via reverse-mode pullback
+    JVP = "jvp"  # J eps via forward-mode pushforward
+
+
+class EpsDist(enum.Enum):
+    """Distribution of Hutchinson probe vectors.
+
+    The reference draws probes from MvNormal(0, I)
+    (`/root/reference/src/base_icnf.jl:22-25`); Rademacher probes have lower
+    variance for trace estimation and are provided as a TPU-friendly extra.
+    """
+
+    GAUSSIAN = "gaussian"
+    RADEMACHER = "rademacher"
+
+
+@dataclasses.dataclass(frozen=True)
+class ComputeMode:
+    """Static trace-computation configuration.
+
+    Collapses the reference's VectorMode/MatrixMode distinction: everything is
+    batched on TPU; single samples are a batch of one (the reference's
+    VectorMode semantics fall out of `vmap`/broadcasting).
+
+    Attributes:
+      ad:         AD direction for Hutchinson probes (and exact trace:
+                  VJP -> jacrev, JVP -> jacfwd).
+      num_probes: number of Hutchinson probes K (reference is hard-wired to 1,
+                  `/root/reference/src/base_icnf.jl:277-278`; K>1 reduces the
+                  estimator variance as 1/K and gives a shardable probe axis).
+      eps_dist:   probe distribution.
+      fused:      use the Pallas fused dynamics kernel when the network shape
+                  supports it (MLP); falls back to the XLA path otherwise.
+    """
+
+    ad: ADMode = ADMode.VJP
+    num_probes: int = 1
+    eps_dist: EpsDist = EpsDist.GAUSSIAN
+    fused: bool = False
+
+    def __post_init__(self):
+        if self.num_probes < 1:
+            raise ValueError(f"num_probes must be >= 1, got {self.num_probes}")
+
+
+def VecJacMode(num_probes: int = 1, **kw) -> ComputeMode:
+    """Reverse-mode probes (analog of the reference's `DIVecJacMatrixMode`)."""
+    return ComputeMode(ad=ADMode.VJP, num_probes=num_probes, **kw)
+
+
+def JacVecMode(num_probes: int = 1, **kw) -> ComputeMode:
+    """Forward-mode probes (analog of the reference's `DIJacVecMatrixMode`)."""
+    return ComputeMode(ad=ADMode.JVP, num_probes=num_probes, **kw)
+
+
+# Reference-parity aliases (matrix/vector collapse to the same batched impl).
+DIVecJacMatrixMode = VecJacMode
+DIJacVecMatrixMode = JacVecMode
+DIVecJacVectorMode = VecJacMode
+DIJacVecVectorMode = JacVecMode
+
+
+class Adjoint(enum.Enum):
+    """How gradients flow through the ODE solve.
+
+    BACKSOLVE: continuous adjoint (optimize-then-discretize) — O(1) memory,
+               re-integrates the state backward alongside the adjoint ODE.
+    DIRECT:    discretize-then-optimize — backprop through a bounded
+               `lax.scan` of solver steps (rematerialized), exact gradients of
+               the discrete solution.
+    NONE:      forward solve only; not differentiable (fastest for inference).
+    """
+
+    BACKSOLVE = "backsolve"
+    DIRECT = "direct"
+    NONE = "none"
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverOptions:
+    """Static ODE-solver configuration (analog of the reference's `sol_kwargs`
+    NamedTuple passed verbatim to `solve`, `/root/reference/src/base_icnf.jl:141`).
+
+    Defaults follow the reference README's recommended tolerances
+    (`/root/reference/README.md:61-67`): reltol = sqrt(eps(Float32)),
+    abstol = eps(Float32).
+    """
+
+    method: str = "tsit5"
+    rtol: float = 3.452669831108329e-4  # sqrt(eps(Float32))
+    atol: float = 1.1920929e-7  # eps(Float32)
+    max_steps: int = 10_000
+    dt0: Optional[float] = None  # None -> automatic initial step (Hairer)
+    fixed_num_steps: Optional[int] = None  # set -> fixed-step integration
+    adjoint: Adjoint = Adjoint.BACKSOLVE
+    # Bound on solver steps for the DIRECT (scan-based) differentiable path;
+    # every iteration costs one step's compute even after convergence, so keep
+    # it modest.
+    direct_max_steps: int = 512
+
+
+__all__ = [
+    "Mode",
+    "TestMode",
+    "TrainMode",
+    "ADMode",
+    "EpsDist",
+    "ComputeMode",
+    "VecJacMode",
+    "JacVecMode",
+    "DIVecJacMatrixMode",
+    "DIJacVecMatrixMode",
+    "DIVecJacVectorMode",
+    "DIJacVecVectorMode",
+    "Adjoint",
+    "SolverOptions",
+]
