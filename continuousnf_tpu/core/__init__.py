@@ -1,0 +1,37 @@
+"""ICNF core engine: augmented dynamics, model construction, inference ops."""
+
+from .dynamics import TestState, TrainState, make_augmented_dynamics
+from .icnf import (
+    ICNF,
+    RNODE,
+    FFJORD,
+    Planar,
+    CondRNODE,
+    CondFFJORD,
+    CondPlanar,
+    Regs,
+    construct,
+    init_params,
+    inference,
+    generate,
+    loss,
+)
+
+__all__ = [
+    "TestState",
+    "TrainState",
+    "make_augmented_dynamics",
+    "ICNF",
+    "RNODE",
+    "FFJORD",
+    "Planar",
+    "CondRNODE",
+    "CondFFJORD",
+    "CondPlanar",
+    "Regs",
+    "construct",
+    "init_params",
+    "inference",
+    "generate",
+    "loss",
+]

@@ -1,0 +1,169 @@
+"""Augmented CNF dynamics: vector field + divergence (trace) + regularizer rates.
+
+TPU-native redesign of the reference's `augmented_f` family
+(`/root/reference/src/icnf.jl:110-456`, 12 dispatch variants).  The 12
+variants collapse to two traced functions:
+
+  * TEST mode  -> exact per-sample trace via batched `jax.linearize` /
+    `jax.vjp` over the identity basis (the analog of `jacobian_batched`,
+    `/root/reference/src/utils.jl:1-54`);
+  * TRAIN mode -> Hutchinson estimator with K probes, reverse
+    (eps^T J, analog of `value_and_pullback`, reference `src/icnf.jl:331-333`)
+    or forward (J eps, `value_and_pushforward`) AD, plus the RNODE
+    regularizer rates  Edot = ||zdot||_2 and  ndot = ||eps^T J||_2 per sample
+    (Finlay et al. 2020; reference `src/icnf.jl:334-349`).
+
+The ODE state is a pytree (no manual row packing like the reference's
+`vcat(z, l, E, n)` state matrix at `/root/reference/src/base_icnf.jl:275-281`)
+— the integrator ravels it once, and XLA keeps the accumulators fused with the
+state updates.
+
+Everything is batch-major `(B, dz)`; probes are `(K, B, dz)` so the probe axis
+can be sharded across a device mesh alongside the batch axis.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..types import ADMode, ComputeMode, Mode
+
+
+class TestState(NamedTuple):
+    """ODE state in TEST mode: transported sample + log-density delta."""
+
+    z: jax.Array  # (B, dz)
+    dlogp: jax.Array  # (B,)
+
+
+class TrainState(NamedTuple):
+    """TRAIN-mode state: adds the two RNODE regularizer accumulators
+    (the reference's n_augment(TrainMode)=2 rows, `src/icnf.jl:106-108`)."""
+
+    z: jax.Array  # (B, dz)
+    dlogp: jax.Array  # (B,)
+    reg_e: jax.Array  # (B,)  integral of ||dz/dt||
+    reg_n: jax.Array  # (B,)  integral of ||eps^T J|| (or ||J eps||)
+
+
+def _batch_apply(
+    nn_apply: Callable[[Any, jax.Array], jax.Array],
+    ps: Any,
+    z: jax.Array,
+    ys: Optional[jax.Array],
+) -> jax.Array:
+    if ys is None:
+        return nn_apply(ps, z)
+    ys_b = jnp.broadcast_to(ys, (*z.shape[:-1], ys.shape[-1]))
+    return nn_apply(ps, jnp.concatenate([z, ys_b], axis=-1))
+
+
+def _exact_field(nn_apply, compute_mode: ComputeMode):
+    """dz plus exact trace of the per-sample Jacobian.
+
+    Forward (JVP) route: one `jax.linearize` per sample, pushforward of the
+    identity basis — dz columns of J (analog of the reference's one-hot
+    pushforward loop, `src/utils.jl:19-36`).  Reverse (VJP) route: pullback of
+    the identity basis (analog of `src/utils.jl:1-17`).  Both vmap over the
+    batch; the basis loop is itself a vmap, so XLA sees one batched matmul per
+    layer rather than dz sequential ones.
+    """
+
+    def field(ps, z, ys):
+        dz_dim = z.shape[-1]
+        eye = jnp.eye(dz_dim, dtype=z.dtype)
+
+        def single(zi, ysi):
+            def net(zz):
+                if ysi is None:
+                    return _batch_apply(nn_apply, ps, zz, None)
+                return _batch_apply(nn_apply, ps, zz, ysi)
+
+            if compute_mode.ad == ADMode.JVP:
+                dzi, lin = jax.linearize(net, zi)
+                cols = jax.vmap(lin)(eye)  # row i = J @ e_i
+                tr = jnp.trace(cols)
+            else:
+                dzi, vjp_fn = jax.vjp(net, zi)
+                rows = jax.vmap(lambda e: vjp_fn(e)[0])(eye)  # row i = e_i^T J
+                tr = jnp.trace(rows)
+            return dzi, tr
+
+        if ys is None:
+            dz, tr = jax.vmap(lambda zi: single(zi, None))(z)
+        else:
+            ys_b = jnp.broadcast_to(ys, (*z.shape[:-1], ys.shape[-1]))
+            dz, tr = jax.vmap(single)(z, ys_b)
+        return dz, tr
+
+    return field
+
+
+def _hutchinson_field(nn_apply, compute_mode: ComputeMode):
+    """dz plus the K-probe Hutchinson trace estimate and regularizer rates.
+
+    eps is fixed per trajectory (drawn once per solve, like the reference at
+    `/root/reference/src/base_icnf.jl:277-278`) and has shape (K, B, dz).
+    Returns (dz, tr_est, n_rate) with tr_est/n_rate averaged over probes.
+    """
+
+    def field(ps, z, ys, eps):
+        if compute_mode.ad == ADMode.VJP:
+            dz, vjp_fn = jax.vjp(lambda zz: _batch_apply(nn_apply, ps, zz, ys), z)
+            eJ = jax.vmap(lambda e: vjp_fn(e)[0])(eps)  # (K, B, dz)
+            tr_est = jnp.mean(jnp.sum(eJ * eps, axis=-1), axis=0)  # (B,)
+            n_rate = jnp.mean(jnp.linalg.norm(eJ, axis=-1), axis=0)  # (B,)
+        else:
+            dz, lin = jax.linearize(lambda zz: _batch_apply(nn_apply, ps, zz, ys), z)
+            Je = jax.vmap(lin)(eps)  # (K, B, dz)
+            tr_est = jnp.mean(jnp.sum(eps * Je, axis=-1), axis=0)
+            n_rate = jnp.mean(jnp.linalg.norm(Je, axis=-1), axis=0)
+        return dz, tr_est, n_rate
+
+    return field
+
+
+def make_augmented_dynamics(
+    nn_apply: Callable[[Any, jax.Array], jax.Array],
+    mode: Mode,
+    compute_mode: ComputeMode,
+    norm_z: bool,
+    norm_j: bool,
+):
+    """Build the ODE right-hand side `f(t, state, args)`.
+
+    `args` is a dict with keys "ps" (net params), optionally "ys"
+    (conditioning, (B, n_cond) or (n_cond,)) and, in TRAIN mode, "eps"
+    (probes, (K, B, dz)).  The field is autonomous (the reference nets never
+    see t, `src/icnf.jl:110-456`); t still flows through the integrator for
+    steering support.
+
+    norm_z/norm_j correspond to the reference's NORM_Z/NORM_J flags baked in
+    at construction (lambda1 != 0 / lambda2 != 0, `src/base_icnf.jl:42-60`) —
+    disabled rates cost nothing (XLA DCEs the zero branches).
+    """
+    if mode == Mode.TEST:
+        exact = _exact_field(nn_apply, compute_mode)
+
+        def f_test(t, state: TestState, args):
+            dz, tr = exact(args["ps"], state.z, args.get("ys"))
+            return TestState(z=dz, dlogp=-tr)
+
+        return f_test
+
+    hutch = _hutchinson_field(nn_apply, compute_mode)
+
+    def f_train(t, state: TrainState, args):
+        dz, tr_est, n_rate = hutch(args["ps"], state.z, args.get("ys"), args["eps"])
+        zero = jnp.zeros_like(tr_est)
+        reg_e = jnp.linalg.norm(dz, axis=-1) if norm_z else zero
+        reg_n = n_rate if norm_j else zero
+        return TrainState(z=dz, dlogp=-tr_est, reg_e=reg_e, reg_n=reg_n)
+
+    return f_train
+
+
+__all__ = ["TestState", "TrainState", "make_augmented_dynamics"]

@@ -1,0 +1,408 @@
+"""ICNF model: construction, inference (log-density), generation, loss.
+
+TPU-native redesign of the reference's core engine
+(`/root/reference/src/base_icnf.jl` + `/root/reference/src/icnf.jl:1-104`).
+The reference's 9 compile-time type parameters become fields of a frozen
+dataclass used as static jit configuration; its `VectorMode`/`MatrixMode`
+axis disappears (single samples are rank-1 inputs, auto-batched); its INPLACE
+axis disappears (XLA owns buffers); randomness (Hutchinson probes, steering
+jitter, base-dist sampling) is explicit-PRNG via `jax.random` keys.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..distributions import sample_eps, std_normal_logpdf
+from ..nets.modules import Module
+from ..types import Adjoint, ComputeMode, EpsDist, Mode, SolverOptions
+from ..ode.solve import SolveStats, odeint_with_stats
+from .dynamics import TestState, TrainState, make_augmented_dynamics
+
+
+class _VariantTag:
+    """Base for the six model-variant tags (reference `src/icnf.jl:1-56`).
+
+    All variants share the `ICNF` implementation; they differ only in default
+    regularization (RNODE family turns on lambda1/lambda2 = 1e-2,
+    `src/base_icnf.jl:28-38`) and conditionality.  The Planar variants are a
+    convention where the user passes a `PlanarLayer` net (reference tests
+    `test/call_tests.jl:94-134`).
+    """
+
+
+class RNODE(_VariantTag):
+    pass
+
+
+class CondRNODE(_VariantTag):
+    pass
+
+
+class FFJORD(_VariantTag):
+    pass
+
+
+class CondFFJORD(_VariantTag):
+    pass
+
+
+class Planar(_VariantTag):
+    pass
+
+
+class CondPlanar(_VariantTag):
+    pass
+
+
+_COND_VARIANTS = (CondRNODE, CondFFJORD, CondPlanar)
+_RNODE_VARIANTS = (RNODE, CondRNODE)
+
+
+class Regs(NamedTuple):
+    """Per-sample regularizer integrals returned alongside log-density.
+
+    e: flow kinetic energy integral Edot (zero in TEST mode)
+    n: Jacobian-norm integral ndot     (zero in TEST mode)
+    a: ||z_aug|| of the final augmented dims (the reference's Adot,
+       `src/base_icnf.jl:157-164`)
+    """
+
+    e: jax.Array
+    n: jax.Array
+    a: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class ICNF:
+    """Static model configuration (analog of the reference `ICNF` struct,
+    `/root/reference/src/icnf.jl:69-104`).  Hashable: safe as a jit static."""
+
+    nn: Module
+    nvars: int
+    naugmented: int = 0
+    cond: bool = False
+    compute_mode: ComputeMode = ComputeMode()
+    tspan: Tuple[float, float] = (0.0, 1.0)
+    steer_rate: float = 0.0
+    lam1: float = 0.0  # flow (kinetic-energy) regularization weight
+    lam2: float = 0.0  # volume-change (Jacobian-norm) regularization weight
+    lam3: float = 0.0  # augmented-dims norm regularization weight
+    solver: SolverOptions = SolverOptions()
+    dtype: Any = jnp.float32
+
+    @property
+    def augmented(self) -> bool:
+        return self.naugmented > 0
+
+    @property
+    def steered(self) -> bool:
+        return self.steer_rate > 0.0
+
+    @property
+    def n_aug_input(self) -> int:
+        """Augmented input dims (reference `n_augment_input`,
+        `src/base_icnf.jl:98-106`)."""
+        return self.naugmented
+
+    @property
+    def zdim(self) -> int:
+        """Dimensionality of the transported state (nvars + augmented dims)."""
+        return self.nvars + self.naugmented
+
+    # ---- convenience wrappers over the module-level functions ----
+
+    def init(self, key: jax.Array) -> Any:
+        return init_params(self, key)
+
+    def __call__(self, xs, ps, *, ys=None, key=None):
+        """Lux-style callable: TRAIN-mode log-density (reference
+        `(icnf)(xs, ps, st)`, `src/base_icnf.jl:528-543`)."""
+        logpx, _, _ = inference(self, Mode.TRAIN, xs, ps, ys=ys, key=key)
+        return logpx
+
+
+def construct(
+    variant,
+    nn: Module,
+    nvars: int,
+    naugmented: int = 0,
+    *,
+    compute_mode: ComputeMode = ComputeMode(),
+    cond: Optional[bool] = None,
+    tspan: Tuple[float, float] = (0.0, 1.0),
+    steer_rate: float = 0.0,
+    lam1: Optional[float] = None,
+    lam2: Optional[float] = None,
+    lam3: float = 0.0,
+    solver: SolverOptions = SolverOptions(),
+    dtype: Any = jnp.float32,
+) -> ICNF:
+    """The single public constructor (reference `construct`,
+    `/root/reference/src/base_icnf.jl:1-77`).
+
+    Defaults mirror the reference: lambda1 = lambda2 = 1e-2 for the RNODE
+    family and 0 otherwise (`src/base_icnf.jl:28-38`); `cond` defaults to
+    True for Cond* variants (`src/base_icnf.jl:14`); tspan = (0, 1);
+    steering draws t1 jitter from Uniform(-steer_rate, steer_rate)
+    (`src/base_icnf.jl:40`).
+    """
+    if not (isinstance(variant, type) and issubclass(variant, _VariantTag)):
+        raise TypeError(f"variant must be one of the ICNF tags, got {variant!r}")
+    is_rnode = issubclass(variant, _RNODE_VARIANTS)
+    if lam1 is None:
+        lam1 = 1.0e-2 if is_rnode else 0.0
+    if lam2 is None:
+        lam2 = 1.0e-2 if is_rnode else 0.0
+    if cond is None:
+        cond = issubclass(variant, _COND_VARIANTS)
+    return ICNF(
+        nn=nn,
+        nvars=int(nvars),
+        naugmented=int(naugmented),
+        cond=bool(cond),
+        compute_mode=compute_mode,
+        tspan=(float(tspan[0]), float(tspan[1])),
+        steer_rate=float(steer_rate),
+        lam1=float(lam1),
+        lam2=float(lam2),
+        lam3=float(lam3),
+        solver=solver,
+        dtype=dtype,
+    )
+
+
+def init_params(icnf: ICNF, key: jax.Array) -> Any:
+    """Initialize the wrapped network's parameters (analog of
+    `LuxCore.setup(rng, icnf)` used at `src/exts/mlj_ext/core_icnf.jl:37`)."""
+    return icnf.nn.init(key, icnf.dtype)
+
+
+def _steer_tspan(icnf: ICNF, mode: Mode, key: Optional[jax.Array]):
+    """TrainMode+steer: jitter t1 by Delta_t * U(-rate, rate) (reference
+    `steer_tspan`, `/root/reference/src/base_icnf.jl:108-121`)."""
+    t0, t1 = icnf.tspan
+    t0 = jnp.asarray(t0, icnf.dtype)
+    t1 = jnp.asarray(t1, icnf.dtype)
+    if mode == Mode.TRAIN and icnf.steered and key is not None:
+        dt = jnp.abs(t1 - t0)
+        r = jax.random.uniform(
+            key, (), dtype=icnf.dtype, minval=-icnf.steer_rate, maxval=icnf.steer_rate
+        )
+        t1 = t1 + dt * r
+    return t0, t1
+
+
+def _as_batch(x: jax.Array, name: str) -> Tuple[jax.Array, bool]:
+    if x.ndim == 1:
+        return x[None, :], True
+    if x.ndim == 2:
+        return x, False
+    raise ValueError(f"{name} must be rank 1 or 2, got shape {x.shape}")
+
+
+def _check_cond(icnf: ICNF, ys):
+    if icnf.cond and ys is None:
+        raise ValueError("conditional ICNF requires ys")
+    if not icnf.cond and ys is not None:
+        raise ValueError("non-conditional ICNF got ys")
+
+
+def _solve(icnf: ICNF, mode: Mode, state0, args, t0, t1):
+    f = make_augmented_dynamics(
+        icnf.nn.apply,
+        mode,
+        icnf.compute_mode,
+        norm_z=icnf.lam1 != 0.0,
+        norm_j=icnf.lam2 != 0.0,
+    )
+    return odeint_with_stats(f, state0, t0, t1, args, icnf.solver)
+
+
+def _final_regs(icnf: ICNF, mode: Mode, stateT) -> Regs:
+    B = stateT.z.shape[0]
+    zero = jnp.zeros((B,), icnf.dtype)
+    if icnf.lam3 != 0.0 and icnf.augmented:
+        z_aug = stateT.z[:, icnf.zdim - icnf.n_aug_input :]
+        a = jnp.linalg.norm(z_aug, axis=-1)
+    else:
+        a = zero
+    if mode == Mode.TRAIN:
+        return Regs(e=stateT.reg_e, n=stateT.reg_n, a=a)
+    return Regs(e=zero, n=zero, a=a)
+
+
+def inference(
+    icnf: ICNF,
+    mode: Mode,
+    xs: jax.Array,
+    ps: Any,
+    *,
+    ys: Optional[jax.Array] = None,
+    key: Optional[jax.Array] = None,
+    eps: Optional[jax.Array] = None,
+    with_stats: bool = False,
+):
+    """Transport data to the base distribution and return log-density.
+
+    Analog of the reference `inference` (`/root/reference/src/base_icnf.jl:407-426`):
+    state0 = [xs | zeros(aug)] with zeroed accumulators, one probe draw per
+    call fixed across the trajectory, integrate t0 -> t1 (steered in TRAIN
+    mode), then  logp(x) = logp_base(z(t1)) - Delta_logp  (`:155-156`).
+
+    Returns (logpx (B,), regs: Regs, stats: SolveStats).  Rank-1 `xs` is
+    treated as a single sample and squeezed back (the reference's VectorMode).
+    """
+    _check_cond(icnf, ys)
+    xs = jnp.asarray(xs, icnf.dtype)
+    xs, squeeze = _as_batch(xs, "xs")
+    if ys is not None:
+        ys = jnp.asarray(ys, icnf.dtype)
+        if squeeze and ys.ndim == 1:
+            ys = ys[None, :]
+    B = xs.shape[0]
+    if xs.shape[1] != icnf.nvars:
+        raise ValueError(f"xs has {xs.shape[1]} features, expected nvars={icnf.nvars}")
+
+    z0 = xs
+    if icnf.n_aug_input:
+        z0 = jnp.concatenate([xs, jnp.zeros((B, icnf.n_aug_input), icnf.dtype)], axis=-1)
+    zeros_b = jnp.zeros((B,), icnf.dtype)
+
+    if mode == Mode.TRAIN:
+        if key is None:
+            raise ValueError("TRAIN-mode inference requires a PRNG key")
+        eps_key, steer_key = jax.random.split(key)
+        if eps is None:
+            # One probe draw per call, fixed across the trajectory (reference
+            # `src/base_icnf.jl:277-278`).  Callers may pre-sample eps to
+            # control its device sharding (probe-axis parallelism).
+            eps = sample_eps(
+                eps_key,
+                (icnf.compute_mode.num_probes, B, icnf.zdim),
+                icnf.compute_mode.eps_dist,
+                icnf.dtype,
+            )
+        state0 = TrainState(z=z0, dlogp=zeros_b, reg_e=zeros_b, reg_n=zeros_b)
+        args = {"ps": ps, "eps": eps, "ys": ys}
+        t0, t1 = _steer_tspan(icnf, mode, steer_key)
+    else:
+        state0 = TestState(z=z0, dlogp=zeros_b)
+        args = {"ps": ps, "ys": ys}
+        t0, t1 = _steer_tspan(icnf, mode, None)
+
+    stateT, stats = _solve(icnf, mode, state0, args, t0, t1)
+    logpz = std_normal_logpdf(stateT.z)
+    logpx = logpz - stateT.dlogp
+    regs = _final_regs(icnf, mode, stateT)
+
+    if squeeze:
+        logpx = logpx[0]
+        regs = Regs(e=regs.e[0], n=regs.n[0], a=regs.a[0])
+    return logpx, regs, stats
+
+
+def generate(
+    icnf: ICNF,
+    mode: Mode,
+    ps: Any,
+    n: Optional[int] = None,
+    *,
+    ys: Optional[jax.Array] = None,
+    key: jax.Array,
+    with_stats: bool = False,
+):
+    """Sample by integrating base-dist draws backward in time.
+
+    Analog of the reference `generate` (`/root/reference/src/base_icnf.jl:428-466`):
+    z(t1) ~ N(0, I_{zdim}), integrate over reversed (steered) tspan, keep the
+    first `nvars` dims (`:191-211`).  `n=None` returns a single sample
+    (VectorMode parity).
+    """
+    _check_cond(icnf, ys)
+    squeeze = n is None
+    B = 1 if squeeze else int(n)
+    if ys is not None:
+        ys = jnp.asarray(ys, icnf.dtype)
+        if ys.ndim == 1:
+            ys = ys[None, :]
+
+    z_key, eps_key, steer_key = jax.random.split(key, 3)
+    z1 = jax.random.normal(z_key, (B, icnf.zdim), icnf.dtype)
+    zeros_b = jnp.zeros((B,), icnf.dtype)
+
+    if mode == Mode.TRAIN:
+        eps = sample_eps(
+            eps_key,
+            (icnf.compute_mode.num_probes, B, icnf.zdim),
+            icnf.compute_mode.eps_dist,
+            icnf.dtype,
+        )
+        state1 = TrainState(z=z1, dlogp=zeros_b, reg_e=zeros_b, reg_n=zeros_b)
+        args = {"ps": ps, "eps": eps, "ys": ys}
+        t0, t1 = _steer_tspan(icnf, mode, steer_key)
+    else:
+        state1 = TestState(z=z1, dlogp=zeros_b)
+        args = {"ps": ps, "ys": ys}
+        t0, t1 = _steer_tspan(icnf, mode, None)
+
+    # Reverse-time integration (reference `reverse(steer_tspan(...))`,
+    # `src/base_icnf.jl:329`).
+    state0, stats = _solve(icnf, mode, state1, args, t1, t0)
+    samples = state0.z[:, : icnf.nvars]
+    if squeeze:
+        samples = samples[0]
+    return samples
+
+
+def loss(
+    icnf: ICNF,
+    mode: Mode,
+    xs: jax.Array,
+    ps: Any,
+    *,
+    ys: Optional[jax.Array] = None,
+    key: Optional[jax.Array] = None,
+    weights: Optional[jax.Array] = None,
+    eps: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Scalar training/eval loss.
+
+    TRAIN: mean(-logpx + lam1*E + lam2*N + lam3*A) over the batch (reference
+    `src/icnf.jl:458-502`); TEST: mean(-logpx) (reference
+    `src/base_icnf.jl:468-508`).
+
+    `weights` (B,) computes a weighted mean — used by the trainer to keep
+    static batch shapes while preserving the reference's partial-batch
+    semantics (padded samples get weight 0).
+    """
+    logpx, regs, _ = inference(icnf, mode, xs, ps, ys=ys, key=key, eps=eps)
+    if mode == Mode.TRAIN:
+        per_sample = -logpx + icnf.lam1 * regs.e + icnf.lam2 * regs.n + icnf.lam3 * regs.a
+    else:
+        per_sample = -logpx
+    if weights is None:
+        return jnp.mean(per_sample)
+    weights = jnp.asarray(weights, per_sample.dtype)
+    return jnp.sum(per_sample * weights) / jnp.maximum(jnp.sum(weights), 1e-12)
+
+
+__all__ = [
+    "ICNF",
+    "RNODE",
+    "FFJORD",
+    "Planar",
+    "CondRNODE",
+    "CondFFJORD",
+    "CondPlanar",
+    "Regs",
+    "construct",
+    "init_params",
+    "inference",
+    "generate",
+    "loss",
+]

@@ -1,0 +1,198 @@
+"""High-level training wrapper: the analog of the reference's MLJ extension.
+
+`ICNFModel` mirrors the hyperparameter surface of the reference's model
+(`/root/reference/src/exts/mlj_ext/core_icnf.jl:14-28`): Lion optimizer,
+n_epochs=300, batch_size=32, shuffled minibatches with partial batches
+(realized here as zero-weighted padding so every step has a static shape and
+one compiled executable covers the whole fit).  `fit` plays the role of
+`MLJModelInterface.fit` (`core_icnf.jl:30-92`), `transform` the TestMode
+density scoring of `core_icnf.jl:94-122`.
+
+The whole epoch (shuffle -> minibatch -> value_and_grad -> optimizer update)
+is one jitted `lax.scan` per optimizer, so the Python loop only runs once per
+epoch and the TPU never waits on the host.  Data parallelism: pass `mesh` (see
+`continuousnf_tpu.parallel`) and batches are sharded over the data axis with
+gradients reduced by XLA collectives.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.icnf import ICNF, inference, init_params, loss
+from ..types import Mode
+
+
+@dataclasses.dataclass(frozen=True)
+class ICNFModel:
+    """Training configuration wrapping an ICNF (reference `ICNFModel`,
+    `/root/reference/src/exts/mlj_ext/core_icnf.jl:1-28`).
+
+    `optimizers` is a sequence of optax gradient transformations applied
+    sequentially, each for `n_epochs` (reference runs `solve` per optimizer,
+    `core_icnf.jl:65-73`).
+    """
+
+    icnf: ICNF
+    optimizers: Tuple[Any, ...] = None  # default: (optax.lion(1e-3),)
+    n_epochs: int = 300
+    batch_size: int = 32
+    use_batch: bool = True
+    sync_every: int = 0  # host-side metric sync cadence; 0 = only at the end
+
+    def __post_init__(self):
+        if self.optimizers is None:
+            object.__setattr__(self, "optimizers", (optax.lion(1.0e-3),))
+        if not isinstance(self.optimizers, tuple):
+            object.__setattr__(self, "optimizers", tuple(self.optimizers))
+
+
+# Conditional fitting uses the same machinery with ys stacked next to xs
+# (reference `CondICNFModel`, `src/exts/mlj_ext/core_cond_icnf.jl`).
+CondICNFModel = ICNFModel
+
+
+@dataclasses.dataclass
+class FitResult:
+    """Fitted parameters + training diagnostics (the reference's fitresult is
+    `(ps, st)`, `core_icnf.jl:88`; states are empty in our functional nets)."""
+
+    icnf: ICNF
+    ps: Any
+    losses: np.ndarray  # per-epoch mean training loss
+    wall_time_s: float
+    epochs: int
+
+
+def _pad_count(n: int, batch_size: int) -> Tuple[int, int]:
+    n_batches = -(-n // batch_size)
+    return n_batches, n_batches * batch_size - n
+
+
+def _make_epoch_fn(
+    model: ICNFModel,
+    n: int,
+    has_cond: bool,
+    optimizer,
+    mesh=None,
+):
+    """Build the jitted epoch function: permutation -> padded batches -> scan
+    of train steps.  Padded tail samples carry weight 0, reproducing the
+    reference DataLoader's `partial=true` semantics with static shapes."""
+    icnf = model.icnf
+    batch_size = model.batch_size if model.use_batch else n
+    n_batches, pad = _pad_count(n, batch_size)
+
+    def epoch(ps, opt_state, xs, ys, key):
+        perm_key, step_key = jax.random.split(key)
+        perm = jax.random.permutation(perm_key, n)
+        if pad:
+            perm = jnp.concatenate([perm, perm[:pad]])
+            w = jnp.concatenate(
+                [jnp.ones((n,), icnf.dtype), jnp.zeros((pad,), icnf.dtype)]
+            )
+        else:
+            w = jnp.ones((n,), icnf.dtype)
+        xb = xs[perm].reshape(n_batches, batch_size, -1)
+        wb = w.reshape(n_batches, batch_size)
+        yb = ys[perm].reshape(n_batches, batch_size, -1) if has_cond else None
+
+        def step(carry, inp):
+            ps, opt_state = carry
+            if has_cond:
+                bx, bw, by, k = inp
+            else:
+                (bx, bw, k), by = inp, None
+            if mesh is not None:
+                from ..parallel.sharding import shard_batch
+
+                bx = shard_batch(mesh, bx)
+                if by is not None:
+                    by = shard_batch(mesh, by)
+            l, g = jax.value_and_grad(
+                lambda p: loss(icnf, Mode.TRAIN, bx, p, ys=by, key=k, weights=bw)
+            )(ps)
+            updates, opt_state = optimizer.update(g, opt_state, ps)
+            ps = optax.apply_updates(ps, updates)
+            return (ps, opt_state), l
+
+        keys = jax.random.split(step_key, n_batches)
+        inputs = (xb, wb, yb, keys) if has_cond else (xb, wb, keys)
+        (ps, opt_state), ls = jax.lax.scan(step, (ps, opt_state), inputs)
+        return ps, opt_state, jnp.mean(ls)
+
+    return jax.jit(epoch)
+
+
+def fit(
+    model: ICNFModel,
+    X: Any,
+    Y: Any = None,
+    *,
+    key: jax.Array,
+    ps: Any = None,
+    verbosity: int = 0,
+    mesh=None,
+) -> FitResult:
+    """Train the model on data `X` (n, nvars) [and conditioning `Y` (n, n_cond)].
+
+    Mirrors the reference fit flow (`core_icnf.jl:30-92`): init params, build
+    shuffled loader, run each optimizer for n_epochs, log wall time.  `ps`
+    warm-starts from existing parameters (checkpoint resume).
+    """
+    icnf = model.icnf
+    xs = jnp.asarray(X, icnf.dtype)
+    if xs.ndim != 2 or xs.shape[1] != icnf.nvars:
+        raise ValueError(f"X must be (n, nvars={icnf.nvars}), got {xs.shape}")
+    has_cond = icnf.cond
+    if has_cond and Y is None:
+        raise ValueError("conditional model requires Y")
+    ys = jnp.asarray(Y, icnf.dtype) if has_cond else jnp.zeros((xs.shape[0], 0), icnf.dtype)
+    n = xs.shape[0]
+
+    init_key, train_key = jax.random.split(key)
+    if ps is None:
+        ps = init_params(icnf, init_key)
+
+    t_start = time.perf_counter()
+    losses = []
+    epoch_i = 0
+    for opt in model.optimizers:
+        opt_state = opt.init(ps)
+        epoch_fn = _make_epoch_fn(model, n, has_cond, opt, mesh)
+        for _ in range(model.n_epochs):
+            ekey = jax.random.fold_in(train_key, epoch_i)
+            ps, opt_state, l = epoch_fn(ps, opt_state, xs, ys, ekey)
+            epoch_i += 1
+            if model.sync_every and epoch_i % model.sync_every == 0:
+                losses.append(float(l))
+                if verbosity:
+                    print(f"[fit] epoch {epoch_i}: loss={losses[-1]:.4f}")
+            else:
+                losses.append(l)  # device array; sync'd at the end
+    losses = np.asarray([float(l) for l in losses], np.float64)
+    wall = time.perf_counter() - t_start
+    if verbosity:
+        print(f"[fit] {epoch_i} epochs in {wall:.1f}s; final loss {losses[-1]:.4f}")
+    return FitResult(icnf=icnf, ps=ps, losses=losses, wall_time_s=wall, epochs=epoch_i)
+
+
+def transform(result: FitResult, X: Any, Y: Any = None, *, batch_size: int = 0) -> jax.Array:
+    """TestMode density scoring: px = exp(logpx) (reference `transform`,
+    `core_icnf.jl:94-122`, which returns `DataFrame(px = exp.(logp))`)."""
+    icnf = result.icnf
+    xs = jnp.asarray(X, icnf.dtype)
+    ys = jnp.asarray(Y, icnf.dtype) if Y is not None else None
+    logpx, _, _ = inference(icnf, Mode.TEST, xs, result.ps, ys=ys)
+    return jnp.exp(logpx)
+
+
+__all__ = ["ICNFModel", "CondICNFModel", "FitResult", "fit", "transform"]

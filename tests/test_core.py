@@ -1,0 +1,194 @@
+"""ICNF core tests.
+
+The parameterized matrix mirrors the reference's call-test suite
+(`/root/reference/test/call_tests.jl`): {6 variants} x {Train, Test} x
+{reverse, forward AD} x {plain, augmented+steered}, nvars=2, batch=4 — every
+public op returns finite values and gradients w.r.t. both params and inputs
+exist.  The numerics tests (density normalization, Hutchinson->exact
+convergence) are stronger than anything in the reference suite.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import continuousnf_tpu as cnf
+from continuousnf_tpu import Mode
+
+NVARS = 2
+BATCH = 4
+N_COND = 2
+FAST_SOLVER = cnf.SolverOptions(rtol=1e-3, atol=1e-5)
+
+VARIANTS = [
+    cnf.RNODE,
+    cnf.FFJORD,
+    cnf.Planar,
+    cnf.CondRNODE,
+    cnf.CondFFJORD,
+    cnf.CondPlanar,
+]
+
+
+def _build(variant, compute_mode, augmented, steered):
+    naug = NVARS if augmented else 0
+    n_in = NVARS + naug
+    is_cond = variant in (cnf.CondRNODE, cnf.CondFFJORD, cnf.CondPlanar)
+    n_cond = N_COND if is_cond else 0
+    if variant in (cnf.Planar, cnf.CondPlanar):
+        nn = cnf.PlanarLayer(n_in, jnp.tanh, n_cond=n_cond)
+    else:
+        nn = cnf.MLP((n_in + n_cond, 2 * n_in, n_in))
+    icnf = cnf.construct(
+        variant,
+        nn,
+        NVARS,
+        naug,
+        steer_rate=0.1 if steered else 0.0,
+        lam3=1e-2 if augmented else 0.0,
+        solver=FAST_SOLVER,
+    )
+    ps = icnf.init(jax.random.PRNGKey(0))
+    xs = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, NVARS))
+    ys = jax.random.normal(jax.random.PRNGKey(2), (BATCH, N_COND)) if is_cond else None
+    return icnf, ps, xs, ys
+
+
+def _all_finite(tree):
+    leaves = jax.tree_util.tree_leaves(tree)
+    return all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+
+
+@pytest.mark.parametrize("augmented", [False, True], ids=["plain", "aug+steer"])
+@pytest.mark.parametrize("ad", ["vjp", "jvp"])
+@pytest.mark.parametrize("mode", [Mode.TRAIN, Mode.TEST], ids=["train", "test"])
+@pytest.mark.parametrize("variant", VARIANTS, ids=lambda v: v.__name__)
+def test_call_matrix(variant, mode, ad, augmented):
+    compute_mode = cnf.VecJacMode() if ad == "vjp" else cnf.JacVecMode()
+    icnf, ps, xs, ys = _build(variant, compute_mode, augmented, steered=augmented)
+    key = jax.random.PRNGKey(7)
+
+    logpx, regs, stats = cnf.inference(icnf, mode, xs, ps, ys=ys, key=key)
+    assert logpx.shape == (BATCH,)
+    assert _all_finite((logpx, regs))
+    assert int(stats.accepted) > 0
+
+    samples = cnf.generate(icnf, mode, ps, BATCH, ys=ys, key=key)
+    assert samples.shape == (BATCH, NVARS)
+    assert _all_finite(samples)
+
+    l = cnf.loss(icnf, mode, xs, ps, ys=ys, key=key)
+    assert np.isfinite(float(l))
+
+
+@pytest.mark.parametrize("mode", [Mode.TRAIN, Mode.TEST], ids=["train", "test"])
+@pytest.mark.parametrize("variant", [cnf.RNODE, cnf.CondFFJORD], ids=lambda v: v.__name__)
+def test_gradients_exist(variant, mode):
+    # Reference asserts grads w.r.t. ps and xs exist under both AD modes
+    # (`test/call_tests.jl:239-252`); we check finiteness and nonzeroness.
+    icnf, ps, xs, ys = _build(variant, cnf.VecJacMode(), augmented=True, steered=True)
+    key = jax.random.PRNGKey(7)
+
+    g_ps = jax.grad(lambda p: cnf.loss(icnf, mode, xs, p, ys=ys, key=key))(ps)
+    assert _all_finite(g_ps)
+    total = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree_util.tree_leaves(g_ps))
+    assert total > 0
+
+    g_xs = jax.grad(lambda x: cnf.loss(icnf, mode, x, ps, ys=ys, key=key))(xs)
+    assert _all_finite(g_xs)
+    assert float(jnp.sum(jnp.abs(g_xs))) > 0
+
+
+def test_vector_mode_parity():
+    # Rank-1 input behaves like a batch of one (reference VectorMode).
+    icnf, ps, xs, _ = _build(cnf.FFJORD, cnf.VecJacMode(), False, False)
+    lp_b, _, _ = cnf.inference(icnf, Mode.TEST, xs, ps)
+    lp_1, _, _ = cnf.inference(icnf, Mode.TEST, xs[0], ps)
+    assert lp_1.shape == ()
+    np.testing.assert_allclose(float(lp_1), float(lp_b[0]), rtol=1e-4, atol=1e-5)
+
+
+def test_density_normalizes_1d():
+    # Exact-trace log-density must integrate to 1 — validates the
+    # instantaneous change-of-variables end to end (untrained net).
+    nn = cnf.MLP((1, 8, 1))
+    icnf = cnf.construct(cnf.FFJORD, nn, 1, 0)
+    ps = icnf.init(jax.random.PRNGKey(3))
+    xs = jnp.linspace(-8, 8, 2001)[:, None]
+    logpx, _, _ = cnf.inference(icnf, Mode.TEST, xs, ps)
+    integral = float(jnp.trapezoid(jnp.exp(logpx), xs[:, 0]))
+    np.testing.assert_allclose(integral, 1.0, atol=2e-3)
+
+
+def test_density_normalizes_2d():
+    nn = cnf.MLP((2, 12, 2))
+    icnf = cnf.construct(cnf.FFJORD, nn, 2, 0)
+    ps = icnf.init(jax.random.PRNGKey(5))
+    g = jnp.linspace(-6, 6, 121)
+    X, Y = jnp.meshgrid(g, g)
+    pts = jnp.stack([X.ravel(), Y.ravel()], -1)
+    lp, _, _ = cnf.inference(icnf, Mode.TEST, pts, ps)
+    integral = float(jnp.sum(jnp.exp(lp)) * (g[1] - g[0]) ** 2)
+    np.testing.assert_allclose(integral, 1.0, atol=5e-3)
+
+
+@pytest.mark.parametrize("ad", ["vjp", "jvp"])
+def test_hutchinson_converges_to_exact(ad):
+    nn = cnf.MLP((2, 12, 2))
+    make = cnf.VecJacMode if ad == "vjp" else cnf.JacVecMode
+    icnf_ex = cnf.construct(cnf.FFJORD, nn, 2, 0)
+    icnf_k = cnf.construct(
+        cnf.FFJORD, nn, 2, 0,
+        compute_mode=make(num_probes=256, eps_dist=cnf.EpsDist.RADEMACHER),
+    )
+    ps = icnf_ex.init(jax.random.PRNGKey(5))
+    xs = jax.random.normal(jax.random.PRNGKey(8), (8, 2))
+    lp_ex, _, _ = cnf.inference(icnf_ex, Mode.TEST, xs, ps)
+    lp_h, _, _ = cnf.inference(icnf_k, Mode.TRAIN, xs, ps, key=jax.random.PRNGKey(9))
+    np.testing.assert_allclose(np.asarray(lp_h), np.asarray(lp_ex), atol=0.05)
+
+
+def test_train_inference_deterministic_given_key():
+    icnf, ps, xs, _ = _build(cnf.RNODE, cnf.VecJacMode(), True, True)
+    key = jax.random.PRNGKey(11)
+    lp1, _, _ = cnf.inference(icnf, Mode.TRAIN, xs, ps, key=key)
+    lp2, _, _ = cnf.inference(icnf, Mode.TRAIN, xs, ps, key=key)
+    np.testing.assert_array_equal(np.asarray(lp1), np.asarray(lp2))
+    lp3, _, _ = cnf.inference(icnf, Mode.TRAIN, xs, ps, key=jax.random.PRNGKey(12))
+    assert not np.allclose(np.asarray(lp1), np.asarray(lp3))
+
+
+def test_steering_jitters_only_train_mode():
+    icnf, ps, xs, _ = _build(cnf.RNODE, cnf.VecJacMode(), True, True)
+    # TEST mode ignores the steering (reference steer_tspan Mode fallback)
+    lp1, _, _ = cnf.inference(icnf, Mode.TEST, xs, ps)
+    lp2, _, _ = cnf.inference(icnf, Mode.TEST, xs, ps)
+    np.testing.assert_array_equal(np.asarray(lp1), np.asarray(lp2))
+
+
+def test_construct_defaults_match_reference():
+    nn = cnf.MLP((2, 4, 2))
+    r = cnf.construct(cnf.RNODE, nn, 2)
+    f = cnf.construct(cnf.FFJORD, nn, 2)
+    assert r.lam1 == pytest.approx(1e-2) and r.lam2 == pytest.approx(1e-2)
+    assert f.lam1 == 0.0 and f.lam2 == 0.0
+    assert r.tspan == (0.0, 1.0) and not r.cond
+    c = cnf.construct(cnf.CondRNODE, cnf.MLP((4, 4, 2)), 2)
+    assert c.cond
+
+
+def test_callable_is_train_logpx():
+    icnf, ps, xs, _ = _build(cnf.RNODE, cnf.VecJacMode(), False, False)
+    key = jax.random.PRNGKey(3)
+    via_call = icnf(xs, ps, key=key)
+    via_inf, _, _ = cnf.inference(icnf, Mode.TRAIN, xs, ps, key=key)
+    np.testing.assert_array_equal(np.asarray(via_call), np.asarray(via_inf))
+
+
+def test_jit_loss():
+    icnf, ps, xs, _ = _build(cnf.RNODE, cnf.VecJacMode(), True, True)
+    key = jax.random.PRNGKey(5)
+    l_eager = cnf.loss(icnf, Mode.TRAIN, xs, ps, key=key)
+    l_jit = jax.jit(lambda x, p, k: cnf.loss(icnf, Mode.TRAIN, x, p, key=k))(xs, ps, key)
+    np.testing.assert_allclose(float(l_eager), float(l_jit), rtol=1e-5)

@@ -1,0 +1,124 @@
+"""Integrator correctness: accuracy vs analytic solutions, reverse time,
+pytree states, and gradients through all three adjoint strategies."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from continuousnf_tpu.ode import odeint, odeint_with_stats
+from continuousnf_tpu.types import Adjoint, SolverOptions
+
+DECAY = lambda t, y, args: -y * args["rate"]
+E1 = float(np.exp(-1.0))
+
+
+@pytest.mark.parametrize("method", ["tsit5", "dopri5", "bosh3"])
+def test_adaptive_accuracy_exp_decay(method):
+    opts = SolverOptions(method=method, adjoint=Adjoint.NONE)
+    yT, stats = odeint_with_stats(DECAY, jnp.ones((4,)), 0.0, 1.0, {"rate": jnp.asarray(1.0)}, opts)
+    # Accuracy within the default solver rtol (sqrt(eps(f32)) ~ 3.45e-4).
+    np.testing.assert_allclose(np.asarray(yT), E1, rtol=5e-4)
+    assert int(stats.accepted) > 0
+    assert int(stats.steps) >= int(stats.accepted)
+
+
+def test_backward_time_roundtrip():
+    opts = SolverOptions(adjoint=Adjoint.NONE)
+    args = {"rate": jnp.asarray(1.0)}
+    yT = odeint(DECAY, jnp.ones((4,)), 0.0, 1.0, args, opts)
+    y0 = odeint(DECAY, yT, 1.0, 0.0, args, opts)
+    np.testing.assert_allclose(np.asarray(y0), 1.0, rtol=1e-3)
+
+
+def test_harmonic_oscillator_pytree_state():
+    def ho(t, s, args):
+        return {"x": s["v"], "v": -s["x"]}
+
+    opts = SolverOptions(adjoint=Adjoint.NONE, rtol=1e-6, atol=1e-8)
+    sT = odeint(ho, {"x": jnp.asarray(1.0), "v": jnp.asarray(0.0)}, 0.0, float(np.pi), None, opts)
+    np.testing.assert_allclose(float(sT["x"]), -1.0, atol=1e-4)
+    np.testing.assert_allclose(float(sT["v"]), 0.0, atol=1e-4)
+
+
+def test_zero_span_returns_initial_state():
+    opts = SolverOptions(adjoint=Adjoint.NONE)
+    y = odeint(DECAY, jnp.ones((3,)), 0.5, 0.5, {"rate": jnp.asarray(1.0)}, opts)
+    np.testing.assert_allclose(np.asarray(y), 1.0)
+
+
+@pytest.mark.parametrize("method,n", [("rk4", 50), ("euler", 4000), ("midpoint", 200)])
+def test_fixed_step_methods(method, n):
+    opts = SolverOptions(method=method, fixed_num_steps=n, adjoint=Adjoint.DIRECT)
+    yT = odeint(DECAY, jnp.ones(()), 0.0, 1.0, {"rate": jnp.asarray(1.0)}, opts)
+    np.testing.assert_allclose(float(yT), E1, rtol=2e-3)
+
+
+@pytest.mark.parametrize(
+    "opts",
+    [
+        SolverOptions(adjoint=Adjoint.BACKSOLVE),
+        SolverOptions(adjoint=Adjoint.DIRECT, direct_max_steps=64),
+        SolverOptions(method="rk4", fixed_num_steps=50, adjoint=Adjoint.DIRECT),
+    ],
+    ids=["backsolve", "direct", "fixed-rk4"],
+)
+def test_gradients_wrt_params_y0_t1(opts):
+    # y(t1) = y0 * exp(-rate * t1): all three partials analytic.
+    def solve(y0, rate, t1):
+        return odeint(DECAY, y0, 0.0, t1, {"rate": rate}, opts)
+
+    y0, rate, t1 = jnp.asarray(2.0), jnp.asarray(1.5), jnp.asarray(0.8)
+    g = jax.grad(solve, argnums=(0, 1, 2))(y0, rate, t1)
+    f = float(np.exp(-1.5 * 0.8))
+    np.testing.assert_allclose(float(g[0]), f, rtol=1e-3)  # d/dy0
+    np.testing.assert_allclose(float(g[1]), -0.8 * 2.0 * f, rtol=1e-3)  # d/drate
+    np.testing.assert_allclose(float(g[2]), -1.5 * 2.0 * f, rtol=1e-3)  # d/dt1
+
+
+def test_backsolve_closure_captured_tracer():
+    # Vector fields closing over tracers must still get correct gradients
+    # (closure_convert path in adjoint.py).
+    opts = SolverOptions(adjoint=Adjoint.BACKSOLVE)
+
+    def outer(c):
+        return odeint(lambda t, y, args: -y * c, jnp.ones(()), 0.0, 1.0, None, opts)
+
+    g = jax.grad(outer)(jnp.asarray(1.0))
+    np.testing.assert_allclose(float(g), -E1, rtol=1e-3)
+
+
+def test_gradients_match_between_adjoints():
+    # Nonlinear field: backsolve and direct must agree to solver tolerance.
+    def field(t, y, args):
+        return jnp.tanh(args["a"] * y) - 0.5 * y
+
+    y0 = jnp.asarray([0.3, -0.7, 1.1])
+
+    def make(opts):
+        return lambda a: jnp.sum(odeint(field, y0, 0.0, 2.0, {"a": a}, opts) ** 2)
+
+    g_back = jax.grad(make(SolverOptions(adjoint=Adjoint.BACKSOLVE)))(jnp.asarray(0.9))
+    g_dir = jax.grad(make(SolverOptions(adjoint=Adjoint.DIRECT, direct_max_steps=128)))(
+        jnp.asarray(0.9)
+    )
+    np.testing.assert_allclose(float(g_back), float(g_dir), rtol=1e-2)
+
+
+def test_jit_and_vmap_compose():
+    opts = SolverOptions(adjoint=Adjoint.BACKSOLVE)
+
+    @jax.jit
+    def solve(y0, rate):
+        return odeint(DECAY, y0, 0.0, 1.0, {"rate": rate}, opts)
+
+    ys = jax.vmap(solve, in_axes=(0, None))(jnp.arange(1.0, 4.0), jnp.asarray(1.0))
+    np.testing.assert_allclose(np.asarray(ys), np.arange(1.0, 4.0) * E1, rtol=1e-4)
+
+
+def test_tolerances_control_accuracy():
+    coarse = SolverOptions(rtol=1e-2, atol=1e-4, adjoint=Adjoint.NONE)
+    fine = SolverOptions(rtol=1e-7, atol=1e-9, adjoint=Adjoint.NONE)
+    _, st_coarse = odeint_with_stats(DECAY, jnp.ones(()), 0.0, 5.0, {"rate": jnp.asarray(1.0)}, coarse)
+    _, st_fine = odeint_with_stats(DECAY, jnp.ones(()), 0.0, 5.0, {"rate": jnp.asarray(1.0)}, fine)
+    assert int(st_fine.accepted) > int(st_coarse.accepted)
