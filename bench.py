@@ -3,11 +3,14 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus extra
 diagnostic keys.  The reference publishes no absolute numbers (BASELINE.md),
 so vs_baseline is reported as 1.0 by convention; extras carry log-prob
-throughput and solver NFE so rounds can be compared.
+throughput, solver NFE, and the tight-tolerance numbers so rounds compare.
 
-Config mirrors the reference benchmark suite shape
-(`/root/reference/benchmark/benchmarks.jl:24-49`): RNODE nvars=8 naug=8,
-tanh MLP, TrainMode loss+gradient — scaled to a TPU-sized batch.
+Config mirrors the reference benchmark/regression suite shape
+(`/root/reference/benchmark/benchmarks.jl:24-49`,
+`/root/reference/test/regression_tests.jl:2-28`): RNODE nvars=8 naug=8,
+tanh MLP 16->48->16, TrainMode loss+gradient at the reference's effective
+solver tolerances (rtol=1e-3/atol=1e-6 — its tests pass no sol_kwargs),
+scaled to a TPU-sized batch, with the fused Pallas dynamics kernel on.
 """
 
 import json
@@ -15,6 +18,35 @@ import time
 
 import jax
 import jax.numpy as jnp
+
+
+def _host_barrier(tree) -> float:
+    """Force completion by reading one scalar back to the host.
+
+    `block_until_ready` alone is not a reliable barrier on remote-attached
+    TPU runtimes (it can return before execution drains); a device->host
+    readback of real bytes is.
+    """
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    import numpy as np
+
+    return float(np.asarray(leaf).ravel()[0])
+
+
+def _time_chain(step_fn, carry, iters):
+    """Time `iters` data-dependent iterations of carry = step_fn(carry, i).
+
+    Threading the carry forces true sequential device execution — independent
+    identical dispatches can overlap or be elided by the runtime, which fakes
+    the timing.  A host readback closes each timed region.
+    """
+    carry = step_fn(carry, 0)  # warmup/compile
+    _host_barrier(carry)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        carry = step_fn(carry, i + 1)
+    _host_barrier(carry)
+    return (time.perf_counter() - t0) / iters
 
 
 def main():
@@ -26,14 +58,23 @@ def main():
     nvars, naug = 8, 8
     n_in = nvars + naug
     batch = 4096
+    on_tpu = jax.default_backend() == "tpu"
     nn = cnf.MLP((n_in, 3 * n_in, n_in))
     icnf = cnf.construct(
-        cnf.RNODE, nn, nvars, naug, tspan=(0.0, 1.0), steer_rate=0.1, lam3=1e-2
+        cnf.RNODE,
+        nn,
+        nvars,
+        naug,
+        tspan=(0.0, 1.0),
+        steer_rate=0.1,
+        lam3=1e-2,
+        compute_mode=cnf.VecJacMode(fused=on_tpu),
     )
     ps = icnf.init(jax.random.PRNGKey(0))
     xs = jax.random.uniform(jax.random.PRNGKey(1), (batch, nvars), dtype=jnp.float32)
     opt = optax.lion(1e-3)
     opt_state = opt.init(ps)
+    key = jax.random.PRNGKey(2)
 
     @jax.jit
     def train_step(ps, opt_state, xs, key):
@@ -48,27 +89,20 @@ def main():
         lp, _, stats = cnf.inference(icnf, Mode.TEST, xs, ps)
         return lp, stats
 
-    # Warmup / compile
-    key = jax.random.PRNGKey(2)
-    ps_w, opt_w, _ = train_step(ps, opt_state, xs, key)
-    jax.block_until_ready(ps_w)
-
-    iters = 10
-    t0 = time.perf_counter()
-    for i in range(iters):
-        ps, opt_state, l = train_step(ps, opt_state, xs, jax.random.fold_in(key, i))
-    jax.block_until_ready(ps)
-    train_dt = (time.perf_counter() - t0) / iters
+    train_dt = _time_chain(
+        lambda c, i: train_step(c[0], c[1], xs, jax.random.fold_in(key, i))[:2],
+        (ps, opt_state),
+        iters=10,
+    )
     train_sps = batch / train_dt
 
-    lp, stats = logprob(ps, xs)
-    jax.block_until_ready(lp)
-    t0 = time.perf_counter()
-    for _ in range(5):
-        lp, stats = logprob(ps, xs)
-    jax.block_until_ready(lp)
-    eval_dt = (time.perf_counter() - t0) / 5
+    def eval_step(x, i):
+        lp, _ = logprob(ps, x)
+        return x + 1e-6 * lp[:, None]  # data dependence chains the calls
+
+    eval_dt = _time_chain(eval_step, xs, iters=5)
     eval_sps = batch / eval_dt
+    _, stats = logprob(ps, xs)
 
     print(
         json.dumps(
@@ -81,7 +115,10 @@ def main():
                     "logprob_evals_per_sec": round(eval_sps, 1),
                     "batch": batch,
                     "train_step_ms": round(train_dt * 1e3, 2),
+                    "logprob_ms": round(eval_dt * 1e3, 2),
                     "test_nfe": int(stats.nfe),
+                    "fused_kernel": on_tpu,
+                    "solver": "tsit5 rtol=1e-3 atol=1e-6 (reference effective default)",
                     "backend": jax.default_backend(),
                     "device": str(jax.devices()[0]),
                 },

@@ -20,6 +20,7 @@ from .types import (
     EpsDist,
     JacVecMode,
     Mode,
+    README_TOLERANCES,
     SolverOptions,
     TestMode,
     TrainMode,
@@ -69,6 +70,7 @@ __all__ = [
     "DIVecJacVectorMode",
     "DIJacVecVectorMode",
     "Mode",
+    "README_TOLERANCES",
     "SolverOptions",
     "TestMode",
     "TrainMode",

@@ -127,7 +127,7 @@ def _hutchinson_field(nn_apply, compute_mode: ComputeMode):
 
 
 def make_augmented_dynamics(
-    nn_apply: Callable[[Any, jax.Array], jax.Array],
+    nn,
     mode: Mode,
     compute_mode: ComputeMode,
     norm_z: bool,
@@ -145,6 +145,7 @@ def make_augmented_dynamics(
     at construction (lambda1 != 0 / lambda2 != 0, `src/base_icnf.jl:42-60`) —
     disabled rates cost nothing (XLA DCEs the zero branches).
     """
+    nn_apply = nn.apply
     if mode == Mode.TEST:
         exact = _exact_field(nn_apply, compute_mode)
 
@@ -153,6 +154,33 @@ def make_augmented_dynamics(
             return TestState(z=dz, dlogp=-tr)
 
         return f_test
+
+    use_fused = False
+    if compute_mode.fused and compute_mode.ad == ADMode.VJP and compute_mode.num_probes == 1:
+        from ..ops.fused_dynamics import supports_fusion
+
+        use_fused = supports_fusion(nn)
+
+    if use_fused:
+        from ..ops.fused_dynamics import fused_tanh_mlp_dynamics
+
+        interpret = jax.default_backend() != "tpu"
+
+        def f_train_fused(t, state: TrainState, args):
+            if args.get("ys") is not None:
+                raise ValueError("fused dynamics does not support conditioning yet")
+            dz, tr_est, e_rate, n_rate = fused_tanh_mlp_dynamics(
+                args["ps"], state.z, args["eps"][0], interpret=interpret
+            )
+            zero = jnp.zeros_like(tr_est)
+            return TrainState(
+                z=dz,
+                dlogp=-tr_est,
+                reg_e=e_rate if norm_z else zero,
+                reg_n=n_rate if norm_j else zero,
+            )
+
+        return f_train_fused
 
     hutch = _hutchinson_field(nn_apply, compute_mode)
 

@@ -214,7 +214,7 @@ def _check_cond(icnf: ICNF, ys):
 
 def _solve(icnf: ICNF, mode: Mode, state0, args, t0, t1):
     f = make_augmented_dynamics(
-        icnf.nn.apply,
+        icnf.nn,
         mode,
         icnf.compute_mode,
         norm_z=icnf.lam1 != 0.0,

@@ -1,0 +1,166 @@
+"""Fused Pallas kernel for the TRAIN-mode augmented dynamics of a tanh MLP.
+
+The hottest op in CNF training (SURVEY §3.1 "HOTTEST") is the RK-stage
+evaluation: network forward + VJP against the Hutchinson probe + trace/
+regularizer reductions.  The XLA path runs it as a chain of small matmul and
+elementwise kernels with (B, H) intermediates round-tripping through HBM; at
+the reference's tiny channel widths the op is bandwidth-bound, so fusing the
+whole thing into one VMEM-resident kernel removes nearly all intermediate
+traffic: per batch tile we read z and eps once, keep h/y/backprop activations
+in VMEM, and write only the field value and three per-sample scalars.
+
+Math (2-layer tanh MLP, the reference's standard net, e.g.
+`/root/reference/test/regression_tests.jl:7`):
+
+    h  = tanh(z W1 + b1)          y = tanh(h W2 + b2)
+    g2 = eps * (1 - y^2)          gh = g2 W2^T
+    g1 = gh * (1 - h^2)           eJ = g1 W1^T          (eps^T J)
+    tr = <eJ, eps>    e_rate = ||y||_2    n_rate = ||eJ||_2   (per sample)
+
+Gradients: the op carries a `jax.custom_vjp` whose backward runs the plain
+XLA implementation's VJP — bitwise-equivalent math, so training (including
+the backsolve adjoint, which takes one VJP of this op) is exact while the
+forward solve gets the fused kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+try:  # Pallas import is deferred-safe: CPU test environs interpret the kernel.
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+
+def _reference_impl(w1, b1, w2, b2, z, eps):
+    """Plain-XLA implementation (ground truth for the kernel + VJP source)."""
+    h = jnp.tanh(z @ w1 + b1)
+    y = jnp.tanh(h @ w2 + b2)
+    g2 = eps * (1.0 - y * y)
+    gh = g2 @ w2.T
+    g1 = gh * (1.0 - h * h)
+    eJ = g1 @ w1.T
+    tr = jnp.sum(eJ * eps, axis=-1)
+    e_rate = jnp.linalg.norm(y, axis=-1)
+    n_rate = jnp.linalg.norm(eJ, axis=-1)
+    return y, tr, e_rate, n_rate
+
+
+def _kernel(z_ref, eps_ref, w1_ref, b1_ref, w2_ref, b2_ref, y_ref, tr_ref, e_ref, n_ref):
+    z = z_ref[:]
+    eps = eps_ref[:]
+    w1 = w1_ref[:]
+    w2 = w2_ref[:]
+    h = jnp.tanh(jnp.dot(z, w1, preferred_element_type=jnp.float32) + b1_ref[:])
+    y = jnp.tanh(jnp.dot(h, w2, preferred_element_type=jnp.float32) + b2_ref[:])
+    g2 = eps * (1.0 - y * y)
+    gh = jnp.dot(g2, w2.T, preferred_element_type=jnp.float32)
+    g1 = gh * (1.0 - h * h)
+    eJ = jnp.dot(g1, w1.T, preferred_element_type=jnp.float32)
+    y_ref[:] = y
+    tr_ref[:] = jnp.sum(eJ * eps, axis=-1, keepdims=True)
+    e_ref[:] = jnp.sqrt(jnp.sum(y * y, axis=-1, keepdims=True))
+    n_ref[:] = jnp.sqrt(jnp.sum(eJ * eJ, axis=-1, keepdims=True))
+
+
+def _fused_forward(w1, b1, w2, b2, z, eps, *, interpret: bool):
+    B, dz = z.shape
+    H = w1.shape[1]
+    TILE_B = min(B, 1024)
+    if B % TILE_B:
+        # Pad the batch to a tile multiple; cheap relative to the solve.
+        pad = TILE_B - B % TILE_B
+        z = jnp.concatenate([z, jnp.zeros((pad, dz), z.dtype)])
+        eps = jnp.concatenate([eps, jnp.zeros((pad, dz), eps.dtype)])
+    Bp = z.shape[0]
+    grid = (Bp // TILE_B,)
+
+    bspec_b = lambda width: pl.BlockSpec(
+        (TILE_B, width), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    bspec_full = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+
+    y, tr, e, n = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            bspec_b(dz),  # z
+            bspec_b(dz),  # eps
+            bspec_full((dz, H)),
+            bspec_full((H,)),
+            bspec_full((H, dz)),
+            bspec_full((dz,)),
+        ],
+        out_specs=[
+            bspec_b(dz),
+            bspec_b(1),
+            bspec_b(1),
+            bspec_b(1),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, dz), z.dtype),
+            jax.ShapeDtypeStruct((Bp, 1), z.dtype),
+            jax.ShapeDtypeStruct((Bp, 1), z.dtype),
+            jax.ShapeDtypeStruct((Bp, 1), z.dtype),
+        ],
+        interpret=interpret,
+    )(z, eps, w1, b1, w2, b2)
+    return y[:B], tr[:B, 0], e[:B, 0], n[:B, 0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _fused_op(w1, b1, w2, b2, z, eps, interpret):
+    return _fused_forward(w1, b1, w2, b2, z, eps, interpret=interpret)
+
+
+def _fused_op_fwd(w1, b1, w2, b2, z, eps, interpret):
+    out = _fused_forward(w1, b1, w2, b2, z, eps, interpret=interpret)
+    return out, (w1, b1, w2, b2, z, eps)
+
+
+def _fused_op_bwd(interpret, residuals, cts):
+    w1, b1, w2, b2, z, eps = residuals
+    _, vjp_fn = jax.vjp(_reference_impl, w1, b1, w2, b2, z, eps)
+    return vjp_fn(cts)
+
+
+_fused_op.defvjp(_fused_op_fwd, _fused_op_bwd)
+
+
+def supports_fusion(nn) -> bool:
+    """True when `nn` is a 2-layer tanh-MLP Chain the kernel covers."""
+    from ..nets.modules import Chain, Dense
+
+    if not isinstance(nn, Chain) or len(nn.layers) != 2:
+        return False
+    for layer in nn.layers:
+        if not isinstance(layer, Dense) or not layer.use_bias:
+            return False
+        if layer.activation is not jnp.tanh:
+            return False
+    return True
+
+
+def fused_tanh_mlp_dynamics(
+    params, z: jax.Array, eps: jax.Array, *, interpret: bool = False
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Fused (dz, trace-estimate, ||dz||, ||eps^T J||) for a 2-layer tanh MLP.
+
+    `params` is the Chain params tuple ((w,b), (w,b)); `z`, `eps` are (B, dz).
+    On non-TPU backends pass `interpret=True` (Pallas interpreter) — tests do.
+    """
+    (p1, p2) = params
+    return _fused_op(p1["w"], p1["b"], p2["w"], p2["b"], z, eps, interpret)
+
+
+__all__ = ["fused_tanh_mlp_dynamics", "supports_fusion"]
