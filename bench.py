@@ -104,6 +104,21 @@ def main():
     eval_sps = batch / eval_dt
     _, stats = logprob(ps, xs)
 
+    # Roofline of the fused dynamics kernel (BASELINE target metric).
+    roofline = {}
+    if on_tpu:
+        from continuousnf_tpu.ops.fused_dynamics import fused_tanh_mlp_dynamics
+        from continuousnf_tpu.utils.profiling import roofline_report, time_chained
+
+        z0 = jax.random.normal(jax.random.PRNGKey(3), (batch, n_in))
+        eps0 = jax.random.normal(jax.random.PRNGKey(4), (batch, n_in))
+        kern = jax.jit(lambda z: fused_tanh_mlp_dynamics(ps, z, eps0))
+        dt_k = time_chained(
+            lambda z: kern(z), lambda out: z0 if out is None else z0 + 1e-6 * out[0], iters=50
+        )
+        roofline = roofline_report(dt_k, batch, n_in, 3 * n_in)
+        roofline = {k: (round(v, 3) if isinstance(v, float) else v) for k, v in roofline.items()}
+
     print(
         json.dumps(
             {
@@ -118,6 +133,7 @@ def main():
                     "logprob_ms": round(eval_dt * 1e3, 2),
                     "test_nfe": int(stats.nfe),
                     "fused_kernel": on_tpu,
+                    "fused_kernel_roofline": roofline,
                     "solver": "tsit5 rtol=1e-3 atol=1e-6 (reference effective default)",
                     "backend": jax.default_backend(),
                     "device": str(jax.devices()[0]),

@@ -1,0 +1,167 @@
+"""End-to-end training recipes reproducing the reference's headline results.
+
+These encode the BASELINE.json configs as one-call functions, including the
+hyperparameters that make the density gates (MAD/MSD/TV <= 0.1 vs the
+analytic pdf) pass robustly:
+
+* `beta_unaugmented`: RNODE on 1D Beta(2,4) with naug=0 — the model density
+  is proper, training converges stably to the gate.
+* `beta_readme`: the literal README config (nvars=1, naug=1, tspan=(0,13),
+  steering, lambda1=lambda2=lambda3=1e-2).  The augmented-slice estimate
+  p_hat(x, 0) is only calibrated while the slice is normalized, and the MLE
+  objective eventually concentrates the augmented conditional (the joint
+  density at aug=0 grows without bound — the reference's objective has the
+  same property); the recipe therefore monitors  I = ∫ p_hat(x, 0) dx  on a
+  grid and stops when I crosses 1, which is exactly when the slice estimate
+  matches the marginal.
+* `toy2d`: FFJORD on moons/circles (exact-trace evaluation vs Hutchinson
+  training), aug=0.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from . import data as toy_data
+from .core.icnf import construct, inference, RNODE, FFJORD
+from .distributions import Beta
+from .nets import MLP
+from .train.fit import ICNFModel, FitResult, fit, transform
+from .types import Mode, VecJacMode
+
+
+@dataclasses.dataclass
+class DensityReport:
+    """Quality metrics vs an analytic density (the reference's gate triple,
+    `/root/reference/test/regression_tests.jl:42-48`)."""
+
+    mad: float
+    msd: float
+    tv: float
+    epochs: int
+    wall_time_s: float
+
+    def passes(self, thresh: float = 0.1) -> bool:
+        return self.mad <= thresh and self.msd <= thresh and self.tv <= thresh
+
+
+def _metrics(est: np.ndarray, actual: np.ndarray, result: FitResult) -> DensityReport:
+    diff = est - actual
+    return DensityReport(
+        mad=float(np.mean(np.abs(diff))),
+        msd=float(np.mean(diff**2)),
+        tv=float(np.sum(np.abs(diff)) / 2.0 / len(est)),
+        epochs=result.epochs,
+        wall_time_s=result.wall_time_s,
+    )
+
+
+def beta_unaugmented(
+    key: jax.Array,
+    n: int = 1024,
+    n_epochs: int = 600,
+    batch_size: int = 128,
+    lr: float = 1e-3,
+    fused: bool = False,
+) -> Tuple[FitResult, DensityReport]:
+    """RNODE on Beta(2,4), naug=0, tanh MLP, tspan=(0,13).
+
+    The tanh-bounded field needs the long reference tspan to reach the base
+    distribution's support.  Cosine-decayed Lion stabilizes the endpoint.
+    """
+    data_key, fit_key = jax.random.split(key)
+    dist = Beta(2.0, 4.0)
+    r = toy_data.beta_data(data_key, n)
+    nn = MLP((1, 16, 16, 1))
+    icnf = construct(
+        RNODE, nn, 1, 0, tspan=(0.0, 13.0), steer_rate=0.1,
+        compute_mode=VecJacMode(fused=fused),
+    )
+    steps = n_epochs * (-(-n // batch_size))
+    opt = optax.lion(
+        optax.cosine_decay_schedule(lr, steps, alpha=0.02), b1=0.9, b2=0.99
+    )
+    model = ICNFModel(icnf, optimizers=(opt,), n_epochs=n_epochs, batch_size=batch_size)
+    result = fit(model, r, key=fit_key)
+    est = np.asarray(transform(result, r))
+    actual = np.asarray(dist.pdf(r))[:, 0]
+    return result, _metrics(est, actual, result)
+
+
+def slice_norm_1d(icnf, ps, lo: float = -0.5, hi: float = 1.5, npts: int = 257) -> float:
+    """∫ p_hat(x, 0...) dx over a 1D grid — the augmented-slice normalization
+    monitor.  Equals 1 exactly when the slice estimate is a density."""
+    grid = jnp.linspace(lo, hi, npts)[:, None]
+    logpx, _, _ = inference(icnf, Mode.TEST, grid, ps)
+    return float(jnp.trapezoid(jnp.exp(logpx), grid[:, 0]))
+
+
+def beta_readme(
+    key: jax.Array,
+    n: int = 1024,
+    max_epochs: int = 300,
+    batch_size: int = 32,
+    lr: float = 1e-4,
+    check_every: int = 5,
+    stop_at: float = 0.98,
+) -> Tuple[FitResult, DensityReport]:
+    """The literal README config (`/root/reference/README.md:38-70`):
+    RNODE nvars=1 naug=1, Dense(2=>6,tanh)=>Dense(6=>2,tanh), tspan=(0,13),
+    steer_rate=0.1, lambda1=lambda2=lambda3=1e-2, Lion, batch 32 — with the
+    slice-normalization early stop that pins training at the point where the
+    augmented-slice density matches the marginal."""
+    data_key, fit_key = jax.random.split(key)
+    dist = Beta(2.0, 4.0)
+    r = toy_data.beta_data(data_key, n)
+    nn = MLP((2, 6, 2))
+    icnf = construct(
+        RNODE, nn, 1, 1, tspan=(0.0, 13.0), steer_rate=0.1, lam3=1e-2
+    )
+    model = ICNFModel(
+        icnf,
+        optimizers=(optax.lion(lr, b1=0.9, b2=0.99),),
+        n_epochs=max_epochs,
+        batch_size=batch_size,
+    )
+
+    def stop_when_normalized(epoch, ps):
+        return slice_norm_1d(icnf, ps) >= stop_at
+
+    result = fit(
+        model, r, key=fit_key, callback=stop_when_normalized, callback_every=check_every
+    )
+    est = np.asarray(transform(result, r))
+    actual = np.asarray(dist.pdf(r))[:, 0]
+    return result, _metrics(est, actual, result)
+
+
+def toy2d(
+    key: jax.Array,
+    dataset: str = "moons",
+    n: int = 4096,
+    n_epochs: int = 300,
+    batch_size: int = 256,
+    lr: float = 1e-3,
+) -> Tuple[FitResult, float]:
+    """FFJORD on a 2D toy (BASELINE config #2): Hutchinson training,
+    exact-trace evaluation.  Returns (result, mean TEST log-likelihood)."""
+    data_key, fit_key = jax.random.split(key)
+    gen = {"moons": toy_data.two_moons, "circles": toy_data.circles}[dataset]
+    r = gen(data_key, n)
+    nn = MLP((2, 32, 32, 2))
+    icnf = construct(FFJORD, nn, 2, 0, tspan=(0.0, 8.0))
+    steps = n_epochs * (-(-n // batch_size))
+    opt = optax.lion(optax.cosine_decay_schedule(lr, steps, alpha=0.02), b1=0.9, b2=0.99)
+    model = ICNFModel(icnf, optimizers=(opt,), n_epochs=n_epochs, batch_size=batch_size)
+    result = fit(model, r, key=fit_key)
+    logpx, _, _ = inference(icnf, Mode.TEST, r, result.ps)
+    return result, float(jnp.mean(logpx))
+
+
+__all__ = ["DensityReport", "beta_unaugmented", "beta_readme", "toy2d", "slice_norm_1d"]

@@ -141,12 +141,18 @@ def fit(
     ps: Any = None,
     verbosity: int = 0,
     mesh=None,
+    callback=None,
+    callback_every: int = 0,
 ) -> FitResult:
     """Train the model on data `X` (n, nvars) [and conditioning `Y` (n, n_cond)].
 
     Mirrors the reference fit flow (`core_icnf.jl:30-92`): init params, build
     shuffled loader, run each optimizer for n_epochs, log wall time.  `ps`
     warm-starts from existing parameters (checkpoint resume).
+
+    `callback(epoch, ps) -> bool` runs every `callback_every` epochs (when
+    both are set); returning True stops training early — used e.g. by the
+    augmented-slice normalization monitor (recipes.py).
     """
     icnf = model.icnf
     xs = jnp.asarray(X, icnf.dtype)
@@ -165,7 +171,10 @@ def fit(
     t_start = time.perf_counter()
     losses = []
     epoch_i = 0
+    stopped = False
     for opt in model.optimizers:
+        if stopped:
+            break
         opt_state = opt.init(ps)
         epoch_fn = _make_epoch_fn(model, n, has_cond, opt, mesh)
         for _ in range(model.n_epochs):
@@ -178,6 +187,10 @@ def fit(
                     print(f"[fit] epoch {epoch_i}: loss={losses[-1]:.4f}")
             else:
                 losses.append(l)  # device array; sync'd at the end
+            if callback is not None and callback_every and epoch_i % callback_every == 0:
+                if callback(epoch_i, ps):
+                    stopped = True
+                    break
     losses = np.asarray([float(l) for l in losses], np.float64)
     wall = time.perf_counter() - t_start
     if verbosity:

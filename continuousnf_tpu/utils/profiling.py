@@ -1,0 +1,81 @@
+"""Performance accounting: roofline model for the fused dynamics kernel.
+
+The reference's only perf machinery is relative PkgBenchmark CI (SURVEY §6);
+BASELINE asks for absolute per-chip roofline utilization of the fused
+dynamics kernel.  The fused op at the reference's tiny channel widths is
+HBM-bandwidth-bound (channel dims 16/48 vs the 128x128 MXU), so the relevant
+ceiling is bytes/s, with FLOPs/s reported alongside.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Tuple
+
+import jax
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class ChipSpec:
+    """Peak numbers for a TPU chip (per-chip, not per-core)."""
+
+    name: str
+    peak_bf16_tflops: float
+    peak_f32_tflops: float
+    hbm_gbps: float
+
+
+#: TPU v5e (v5 lite): 197 bf16 TFLOPS, ~49 f32 TFLOPS, 819 GB/s HBM.
+V5E = ChipSpec(name="v5e", peak_bf16_tflops=197.0, peak_f32_tflops=49.0, hbm_gbps=819.0)
+
+
+def fused_dynamics_cost(B: int, dz: int, H: int, dtype_bytes: int = 4) -> Tuple[float, float]:
+    """(flops, hbm_bytes) of one fused dynamics evaluation.
+
+    FLOPs: 4 matmuls (fwd z@W1, h@W2; vjp g2@W2^T, g1@W1^T) = 8*B*dz*H MACs->
+    flops, plus O(B*(dz+H)) elementwise (tanh, gating, reductions).
+    Bytes: the fused kernel reads z and eps, writes y and three per-sample
+    scalars; intermediates stay in VMEM (that's the point).
+    """
+    flops = 8.0 * B * dz * H + 12.0 * B * (dz + H)
+    hbm_bytes = dtype_bytes * (2.0 * B * dz + B * dz + 3.0 * B)
+    return flops, hbm_bytes
+
+
+def time_chained(fn: Callable, make_input, iters: int = 50) -> float:
+    """Wall time per call of `fn`, chaining each call's input on the previous
+    call's output (defeats async-dispatch overlap) and closing the region
+    with a host readback (remote runtimes can report readiness early)."""
+    x = make_input(None)
+    out = fn(x)
+    _ = float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+    t0 = time.perf_counter()
+    for _i in range(iters):
+        out = fn(make_input(out))
+    _ = float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+    return (time.perf_counter() - t0) / iters
+
+
+def roofline_report(
+    measured_s: float, B: int, dz: int, H: int, chip: ChipSpec = V5E
+) -> dict:
+    """Utilization of the fused dynamics eval vs the chip's compute and
+    bandwidth ceilings; `bound` names the binding resource."""
+    flops, hbm_bytes = fused_dynamics_cost(B, dz, H)
+    t_compute = flops / (chip.peak_f32_tflops * 1e12)
+    t_bw = hbm_bytes / (chip.hbm_gbps * 1e9)
+    t_light = max(t_compute, t_bw)
+    return {
+        "chip": chip.name,
+        "measured_us": measured_s * 1e6,
+        "speed_of_light_us": t_light * 1e6,
+        "utilization": t_light / measured_s if measured_s > 0 else 0.0,
+        "achieved_gflops": flops / measured_s / 1e9,
+        "achieved_gbps": hbm_bytes / measured_s / 1e9,
+        "bound": "bandwidth" if t_bw >= t_compute else "compute",
+    }
+
+
+__all__ = ["ChipSpec", "V5E", "fused_dynamics_cost", "time_chained", "roofline_report"]
