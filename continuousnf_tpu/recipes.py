@@ -65,7 +65,7 @@ def _metrics(est: np.ndarray, actual: np.ndarray, result: FitResult) -> DensityR
 def beta_unaugmented(
     key: jax.Array,
     n: int = 1024,
-    n_epochs: int = 600,
+    n_epochs: int = 800,
     batch_size: int = 128,
     lr: float = 1e-3,
     fused: bool = False,
@@ -78,7 +78,7 @@ def beta_unaugmented(
     data_key, fit_key = jax.random.split(key)
     dist = Beta(2.0, 4.0)
     r = toy_data.beta_data(data_key, n)
-    nn = MLP((1, 16, 16, 1))
+    nn = MLP((1, 32, 32, 1))
     icnf = construct(
         RNODE, nn, 1, 0, tspan=(0.0, 13.0), steer_rate=0.1,
         compute_mode=VecJacMode(fused=fused),

@@ -77,21 +77,25 @@ def _pad_count(n: int, batch_size: int) -> Tuple[int, int]:
     return n_batches, n_batches * batch_size - n
 
 
-def _make_epoch_fn(
+def _make_epochs_fn(
     model: ICNFModel,
     n: int,
     has_cond: bool,
     optimizer,
     mesh=None,
+    epochs_per_call: int = 1,
 ):
-    """Build the jitted epoch function: permutation -> padded batches -> scan
-    of train steps.  Padded tail samples carry weight 0, reproducing the
-    reference DataLoader's `partial=true` semantics with static shapes."""
+    """Build the jitted multi-epoch function: for each epoch, permutation ->
+    padded batches -> scan of train steps; epochs themselves are scanned so
+    one device call covers `epochs_per_call` epochs (the host loop is the
+    bottleneck on remote-attached TPUs).  Padded tail samples carry weight 0,
+    reproducing the reference DataLoader's `partial=true` semantics with
+    static shapes."""
     icnf = model.icnf
     batch_size = model.batch_size if model.use_batch else n
     n_batches, pad = _pad_count(n, batch_size)
 
-    def epoch(ps, opt_state, xs, ys, key):
+    def one_epoch(ps, opt_state, xs, ys, key):
         perm_key, step_key = jax.random.split(key)
         perm = jax.random.permutation(perm_key, n)
         if pad:
@@ -129,7 +133,17 @@ def _make_epoch_fn(
         (ps, opt_state), ls = jax.lax.scan(step, (ps, opt_state), inputs)
         return ps, opt_state, jnp.mean(ls)
 
-    return jax.jit(epoch)
+    def epochs(ps, opt_state, xs, ys, base_key):
+        def body(carry, ekey):
+            ps, opt_state = carry
+            ps, opt_state, l = one_epoch(ps, opt_state, xs, ys, ekey)
+            return (ps, opt_state), l
+
+        keys = jax.random.split(base_key, epochs_per_call)
+        (ps, opt_state), ls = jax.lax.scan(body, (ps, opt_state), keys)
+        return ps, opt_state, ls
+
+    return jax.jit(epochs)
 
 
 def fit(
@@ -172,25 +186,30 @@ def fit(
     losses = []
     epoch_i = 0
     stopped = False
+    # One device call covers a chunk of epochs; callbacks run between chunks.
+    chunk = callback_every if (callback is not None and callback_every) else 25
+    chunk = max(1, min(chunk, model.n_epochs))
     for opt in model.optimizers:
         if stopped:
             break
         opt_state = opt.init(ps)
-        epoch_fn = _make_epoch_fn(model, n, has_cond, opt, mesh)
-        for _ in range(model.n_epochs):
-            ekey = jax.random.fold_in(train_key, epoch_i)
-            ps, opt_state, l = epoch_fn(ps, opt_state, xs, ys, ekey)
-            epoch_i += 1
-            if model.sync_every and epoch_i % model.sync_every == 0:
-                losses.append(float(l))
-                if verbosity:
-                    print(f"[fit] epoch {epoch_i}: loss={losses[-1]:.4f}")
-            else:
-                losses.append(l)  # device array; sync'd at the end
-            if callback is not None and callback_every and epoch_i % callback_every == 0:
-                if callback(epoch_i, ps):
-                    stopped = True
-                    break
+        fns = {}
+        remaining = model.n_epochs
+        ci = 0
+        while remaining > 0 and not stopped:
+            cs = min(chunk, remaining)
+            if cs not in fns:
+                fns[cs] = _make_epochs_fn(model, n, has_cond, opt, mesh, epochs_per_call=cs)
+            ckey = jax.random.fold_in(train_key, epoch_i)
+            ps, opt_state, ls = fns[cs](ps, opt_state, xs, ys, ckey)
+            epoch_i += cs
+            remaining -= cs
+            ci += 1
+            losses.extend(list(ls))  # device arrays; sync'd at the end
+            if verbosity and model.sync_every and ci % model.sync_every == 0:
+                print(f"[fit] epoch {epoch_i}: loss={float(ls[-1]):.4f}")
+            if callback is not None and callback_every and callback(epoch_i, ps):
+                stopped = True
     losses = np.asarray([float(l) for l in losses], np.float64)
     wall = time.perf_counter() - t_start
     if verbosity:

@@ -78,4 +78,30 @@ def roofline_report(
     }
 
 
-__all__ = ["ChipSpec", "V5E", "fused_dynamics_cost", "time_chained", "roofline_report"]
+class trace:
+    """Context manager around `jax.profiler` for TensorBoard-viewable traces:
+
+        with profiling.trace("/tmp/jax-trace"):
+            train_step(...)
+    """
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+
+    def __enter__(self):
+        jax.profiler.start_trace(self.log_dir)
+        return self
+
+    def __exit__(self, *exc):
+        jax.profiler.stop_trace()
+        return False
+
+
+__all__ = [
+    "ChipSpec",
+    "V5E",
+    "fused_dynamics_cost",
+    "time_chained",
+    "roofline_report",
+    "trace",
+]

@@ -1,0 +1,64 @@
+"""Native loader, toy data, and profiling-accounting tests."""
+
+import numpy as np
+import pytest
+
+from continuousnf_tpu.io import load_csv, native_available, shuffled_indices
+from continuousnf_tpu import data as toy_data
+from continuousnf_tpu.utils.profiling import fused_dynamics_cost, roofline_report
+import jax
+
+
+def test_load_csv_matches_numpy(tmp_path):
+    rng = np.random.default_rng(0)
+    arr = rng.normal(size=(200, 5)).astype(np.float32)
+    p = str(tmp_path / "t.csv")
+    np.savetxt(p, arr, delimiter=",", fmt="%.6f")
+    data, mean, std = load_csv(p)
+    ref = np.loadtxt(p, delimiter=",", dtype=np.float32)
+    np.testing.assert_array_equal(data, ref)
+    assert mean is None and std is None
+
+
+def test_load_csv_standardize_and_header(tmp_path):
+    rng = np.random.default_rng(1)
+    arr = rng.normal(loc=3.0, scale=2.0, size=(300, 4)).astype(np.float32)
+    p = str(tmp_path / "t.csv")
+    np.savetxt(p, arr, delimiter=",", fmt="%.5f", header="a,b,c,d", comments="")
+    data, mean, std = load_csv(p, has_header=True, standardize=True)
+    assert data.shape == (300, 4)
+    np.testing.assert_allclose(data.mean(axis=0), 0.0, atol=1e-4)
+    np.testing.assert_allclose(data.std(axis=0), 1.0, atol=1e-3)
+    np.testing.assert_allclose(mean, arr.mean(axis=0), rtol=1e-3, atol=1e-3)
+
+
+def test_shuffled_indices_deterministic_permutation():
+    a = shuffled_indices(7, 512)
+    b = shuffled_indices(7, 512)
+    c = shuffled_indices(8, 512)
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+    np.testing.assert_array_equal(np.sort(a), np.arange(512))
+
+
+def test_toy_datasets_shapes_and_ranges():
+    key = jax.random.PRNGKey(0)
+    assert toy_data.beta_data(key, 100, 3).shape == (100, 3)
+    m = np.asarray(toy_data.two_moons(key, 101))
+    assert m.shape == (101, 2) and np.isfinite(m).all()
+    c = np.asarray(toy_data.circles(key, 100))
+    assert c.shape == (100, 2)
+    radii = np.linalg.norm(c, axis=1)
+    assert radii.max() < 1.5 and radii.min() > 0.2
+    g = np.asarray(toy_data.gaussian_mixture(key, 100, [[0, 0], [5, 5]]))
+    assert g.shape == (100, 2)
+    t = np.asarray(toy_data.synthetic_tabular(key, 100, 43))
+    assert t.shape == (100, 43) and np.isfinite(t).all()
+
+
+def test_roofline_accounting():
+    flops, bytes_ = fused_dynamics_cost(4096, 16, 48)
+    assert flops == pytest.approx(8 * 4096 * 16 * 48, rel=0.2)
+    rep = roofline_report(measured_s=10e-6, B=4096, dz=16, H=48)
+    assert 0 < rep["utilization"] < 1.5
+    assert rep["bound"] in ("bandwidth", "compute")
