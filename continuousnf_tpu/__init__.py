@@ -53,7 +53,7 @@ from .train import (
     save_checkpoint,
     load_checkpoint,
 )
-from . import distributions, parallel
+from . import data, distributions, io, parallel, recipes, utils
 
 __version__ = "0.1.0"
 
@@ -109,6 +109,10 @@ __all__ = [
     "save_checkpoint",
     "load_checkpoint",
     # subpackages
+    "data",
     "distributions",
+    "io",
     "parallel",
+    "recipes",
+    "utils",
 ]

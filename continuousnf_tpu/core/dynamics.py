@@ -132,6 +132,7 @@ def make_augmented_dynamics(
     compute_mode: ComputeMode,
     norm_z: bool,
     norm_j: bool,
+    passive_aug_dims: int = 0,
 ):
     """Build the ODE right-hand side `f(t, state, args)`.
 
@@ -144,8 +145,23 @@ def make_augmented_dynamics(
     norm_z/norm_j correspond to the reference's NORM_Z/NORM_J flags baked in
     at construction (lambda1 != 0 / lambda2 != 0, `src/base_icnf.jl:42-60`) —
     disabled rates cost nothing (XLA DCEs the zero branches).
+
+    passive_aug_dims > 0 zeroes the field on the last `passive_aug_dims`
+    state components ("passive augmentation", `construct(aug_passive=True)`):
+    augmented dims act as constant input channels and are not transported,
+    which keeps the augmented-slice density proper (see recipes.py for why
+    the fully-augmented MLE objective is degenerate).
     """
-    nn_apply = nn.apply
+    raw_apply = nn.apply
+    if passive_aug_dims > 0:
+        k = passive_aug_dims
+
+        def nn_apply(ps, z):
+            out = raw_apply(ps, z)
+            return jnp.concatenate([out[..., :-k], jnp.zeros_like(out[..., -k:])], axis=-1)
+
+    else:
+        nn_apply = raw_apply
     if mode == Mode.TEST:
         exact = _exact_field(nn_apply, compute_mode)
 
@@ -156,7 +172,12 @@ def make_augmented_dynamics(
         return f_test
 
     use_fused = False
-    if compute_mode.fused and compute_mode.ad == ADMode.VJP and compute_mode.num_probes == 1:
+    if (
+        compute_mode.fused
+        and compute_mode.ad == ADMode.VJP
+        and compute_mode.num_probes == 1
+        and passive_aug_dims == 0
+    ):
         from ..ops.fused_dynamics import supports_fusion
 
         use_fused = supports_fusion(nn)

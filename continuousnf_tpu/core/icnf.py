@@ -94,6 +94,11 @@ class ICNF:
     lam3: float = 0.0  # augmented-dims norm regularization weight
     solver: SolverOptions = SolverOptions()
     dtype: Any = jnp.float32
+    # Passive augmentation: augmented dims are inputs to the network but are
+    # not transported (zero field components).  Keeps the augmented-slice
+    # density proper — the fully-transported variant's MLE objective is
+    # degenerate (see recipes.py).  Off by default (reference parity).
+    aug_passive: bool = False
 
     @property
     def augmented(self) -> bool:
@@ -141,6 +146,7 @@ def construct(
     lam3: float = 0.0,
     solver: SolverOptions = SolverOptions(),
     dtype: Any = jnp.float32,
+    aug_passive: bool = False,
 ) -> ICNF:
     """The single public constructor (reference `construct`,
     `/root/reference/src/base_icnf.jl:1-77`).
@@ -173,6 +179,7 @@ def construct(
         lam3=float(lam3),
         solver=solver,
         dtype=dtype,
+        aug_passive=bool(aug_passive),
     )
 
 
@@ -219,6 +226,7 @@ def _solve(icnf: ICNF, mode: Mode, state0, args, t0, t1):
         icnf.compute_mode,
         norm_z=icnf.lam1 != 0.0,
         norm_j=icnf.lam2 != 0.0,
+        passive_aug_dims=icnf.n_aug_input if icnf.aug_passive else 0,
     )
     return odeint_with_stats(f, state0, t0, t1, args, icnf.solver)
 
