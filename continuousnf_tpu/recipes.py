@@ -135,8 +135,17 @@ def beta_readme(
     dist = Beta(2.0, 4.0)
     r = toy_data.beta_data(data_key, n)
     nn = MLP((2, 6, 2))
+    if stabilize:
+        # Stabilized variant deviates from the literal hyperparameters where
+        # it buys stability/speed without changing the task: shorter tspan
+        # (the tanh field only needs ~3 units of displacement), larger batch,
+        # cosine-decayed Lion.
+        max_epochs = max(max_epochs, 600)
+        batch_size = 128
     icnf = construct(
-        RNODE, nn, 1, 1, tspan=(0.0, 13.0), steer_rate=0.1, lam3=1e-2,
+        RNODE, nn, 1, 1,
+        tspan=(0.0, 6.0) if stabilize else (0.0, 13.0),
+        steer_rate=0.1, lam3=1e-2,
         aug_passive=stabilize,
     )
     steps = max_epochs * (-(-n // batch_size))

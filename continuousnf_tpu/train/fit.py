@@ -187,8 +187,12 @@ def fit(
     epoch_i = 0
     stopped = False
     # One device call covers a chunk of epochs; callbacks run between chunks.
-    chunk = callback_every if (callback is not None and callback_every) else 25
-    chunk = max(1, min(chunk, model.n_epochs))
+    # Chunk size adapts to keep each device call under ~15s: very long calls
+    # can trip execution watchdogs on remote-attached runtimes, and very short
+    # ones are dominated by host round-trips.
+    TARGET_CALL_S = 15.0
+    max_chunk = callback_every if (callback is not None and callback_every) else 25
+    max_chunk = max(1, min(max_chunk, model.n_epochs))
     for opt in model.optimizers:
         if stopped:
             break
@@ -196,12 +200,21 @@ def fit(
         fns = {}
         remaining = model.n_epochs
         ci = 0
+        chunk = 1  # first call measures per-epoch time
+        epoch_cost = None
         while remaining > 0 and not stopped:
             cs = min(chunk, remaining)
             if cs not in fns:
                 fns[cs] = _make_epochs_fn(model, n, has_cond, opt, mesh, epochs_per_call=cs)
             ckey = jax.random.fold_in(train_key, epoch_i)
+            t_call = time.perf_counter()
             ps, opt_state, ls = fns[cs](ps, opt_state, xs, ys, ckey)
+            if epoch_cost is None and ci > 0:
+                # Second chunk=1 call is compile-free: measure the epoch cost
+                # (host readback closes the region) and pick the chunk size.
+                float(ls[-1])
+                epoch_cost = max((time.perf_counter() - t_call) / cs, 1e-3)
+                chunk = int(max(1, min(max_chunk, TARGET_CALL_S / epoch_cost)))
             epoch_i += cs
             remaining -= cs
             ci += 1
