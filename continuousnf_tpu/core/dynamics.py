@@ -163,10 +163,23 @@ def make_augmented_dynamics(
     else:
         nn_apply = raw_apply
     if mode == Mode.TEST:
+        # Closed-form exact divergence for 2-layer tanh MLPs: one forward
+        # pass + einsum instead of d AD passes.  Exact math, so it is used
+        # whenever the architecture matches (not gated behind a flag).
+        from ..ops.fused_dynamics import supports_fusion
+
+        closed_form = supports_fusion(nn) and passive_aug_dims == 0
         exact = _exact_field(nn_apply, compute_mode)
 
         def f_test(t, state: TestState, args):
-            dz, tr = exact(args["ps"], state.z, args.get("ys"))
+            # Conditioning changes the input dimension (divergence is w.r.t.
+            # z only), so the closed form applies to unconditional calls.
+            if closed_form and args.get("ys") is None:
+                from ..ops.fused_dynamics import exact_tanh_mlp_trace
+
+                dz, tr = exact_tanh_mlp_trace(args["ps"], state.z)
+            else:
+                dz, tr = exact(args["ps"], state.z, args.get("ys"))
             return TestState(z=dz, dlogp=-tr)
 
         return f_test

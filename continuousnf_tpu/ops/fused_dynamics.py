@@ -137,6 +137,30 @@ def _fused_op_bwd(interpret, residuals, cts):
 _fused_op.defvjp(_fused_op_fwd, _fused_op_bwd)
 
 
+def exact_tanh_mlp_trace(params, z: jax.Array):
+    """Closed-form exact divergence of a 2-layer tanh MLP — one forward pass
+    plus an einsum, no Jacobian materialization.
+
+    For f(z) = tanh(tanh(z W1 + b1) W2 + b2):
+        J_ij = dy_j * sum_h W2[h, j] * dh_h * W1[i, h]
+        tr J = einsum(dy_i, W2[h, i], dh_h, W1[i, h])
+    with dh = 1 - h^2, dy = 1 - y^2.  Cost O(B d H) — the same as a single
+    Hutchinson probe but exact: TEST-mode densities (the reference's
+    `jacobian_batched` path, `/root/reference/src/utils.jl:1-54`, costs d
+    AD passes) become as cheap as one probe.
+
+    Returns (y, trace) with shapes ((B, d), (B,)).
+    """
+    (p1, p2) = params
+    w1, b1, w2, b2 = p1["w"], p1["b"], p2["w"], p2["b"]
+    h = jnp.tanh(z @ w1 + b1)
+    y = jnp.tanh(h @ w2 + b2)
+    dh = 1.0 - h * h
+    dy = 1.0 - y * y
+    tr = jnp.einsum("bi,hi,bh,ih->b", dy, w2, dh, w1)
+    return y, tr
+
+
 def supports_fusion(nn) -> bool:
     """True when `nn` is a 2-layer tanh-MLP Chain the kernel covers."""
     from ..nets.modules import Chain, Dense

@@ -78,7 +78,9 @@ def beta_unaugmented(
     data_key, fit_key = jax.random.split(key)
     dist = Beta(2.0, 4.0)
     r = toy_data.beta_data(data_key, n)
-    nn = MLP((1, 32, 32, 1))
+    # Width 64 matters: at 32 the flow underfits the density peak
+    # (mad plateaus ~0.11 vs 0.04 at 64).
+    nn = MLP((1, 64, 64, 1))
     icnf = construct(
         RNODE, nn, 1, 0, tspan=(0.0, 13.0), steer_rate=0.1,
         compute_mode=VecJacMode(fused=fused),
@@ -134,7 +136,9 @@ def beta_readme(
     data_key, fit_key, val_key = jax.random.split(key, 3)
     dist = Beta(2.0, 4.0)
     r = toy_data.beta_data(data_key, n)
-    nn = MLP((2, 6, 2))
+    # Literal variant keeps the README's tiny net; the stabilized recipe uses
+    # the capacity the task needs.
+    nn = MLP((2, 6, 2)) if not stabilize else MLP((2, 64, 64, 2))
     if stabilize:
         # Stabilized variant deviates from the literal hyperparameters where
         # it buys stability/speed without changing the task: shorter tspan
