@@ -104,18 +104,30 @@ def main():
     eval_sps = batch / eval_dt
     _, stats = logprob(ps, xs)
 
-    # Roofline of the fused dynamics kernel (BASELINE target metric).
+    # Roofline of the fused dynamics eval (BASELINE target metric), derived
+    # from an end-to-end TRAIN forward solve: wall time divided by the
+    # solver's NFE counter.  This includes the while-loop controller overhead
+    # — it is the *effective* per-eval cost the training run actually pays
+    # (standalone kernel microbenchmarks are dispatch-dominated on
+    # remote-attached runtimes).
     roofline = {}
     if on_tpu:
-        from continuousnf_tpu.ops.fused_dynamics import fused_tanh_mlp_dynamics
-        from continuousnf_tpu.utils.profiling import roofline_report, time_chained
+        import numpy as np
 
-        z0 = jax.random.normal(jax.random.PRNGKey(3), (batch, n_in))
-        eps0 = jax.random.normal(jax.random.PRNGKey(4), (batch, n_in))
-        kern = jax.jit(lambda z: fused_tanh_mlp_dynamics(ps, z, eps0))
-        dt_k = time_chained(
-            lambda z: kern(z), lambda out: z0 if out is None else z0 + 1e-6 * out[0], iters=50
-        )
+        from continuousnf_tpu import Mode
+        from continuousnf_tpu.utils.profiling import roofline_report
+
+        @jax.jit
+        def fwd(xs, key):
+            lp, _, stats = cnf.inference(icnf, Mode.TRAIN, xs, ps, key=key)
+            return xs + 1e-6 * lp[:, None], stats.nfe
+
+        def fwd_step(c, i):
+            return fwd(c[0], jax.random.fold_in(key, i))
+
+        dt_total = _time_chain(fwd_step, (xs, 0), iters=8)
+        nfe = int(fwd(xs, key)[1])
+        dt_k = dt_total / max(nfe, 1)
         roofline = roofline_report(dt_k, batch, n_in, 3 * n_in)
         roofline = {k: (round(v, 3) if isinstance(v, float) else v) for k, v in roofline.items()}
 

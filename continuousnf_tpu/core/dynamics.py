@@ -126,6 +126,27 @@ def _hutchinson_field(nn_apply, compute_mode: ComputeMode):
     return field
 
 
+def _planar_exact(nn, ps, z, ys):
+    """Closed-form divergence of the planar field f(z) = u * act(<w, z> + b):
+    dfi/dzj = u_i * act'(s) * w_j, so  tr(J) = act'(s) * <w[:nvars], u>
+    (only the z-block of w for conditional layers — divergence is w.r.t. z).
+    One forward pass + one jvp of the scalar activation.
+    """
+    if ys is not None:
+        ys_b = jnp.broadcast_to(ys, (*z.shape[:-1], ys.shape[-1]))
+        zin = jnp.concatenate([z, ys_b], axis=-1)
+    else:
+        zin = z
+    s = jnp.einsum("...d,d->...", zin, ps["w"])
+    if nn.use_bias:
+        s = s + ps["b"][0]
+    act_s, dact_s = jax.jvp(nn.activation, (s,), (jnp.ones_like(s),))
+    dz = act_s[..., None] * ps["u"]
+    wu = jnp.sum(ps["w"][: nn.nvars] * ps["u"])
+    tr = dact_s * wu
+    return dz, tr
+
+
 def make_augmented_dynamics(
     nn,
     mode: Mode,
@@ -169,15 +190,20 @@ def make_augmented_dynamics(
         from ..ops.fused_dynamics import supports_fusion
 
         closed_form = supports_fusion(nn) and passive_aug_dims == 0
+        from ..nets.planar import PlanarLayer
+
+        planar_form = isinstance(nn, PlanarLayer) and passive_aug_dims == 0
         exact = _exact_field(nn_apply, compute_mode)
 
         def f_test(t, state: TestState, args):
             # Conditioning changes the input dimension (divergence is w.r.t.
-            # z only), so the closed form applies to unconditional calls.
+            # z only), so the closed forms apply to unconditional calls.
             if closed_form and args.get("ys") is None:
                 from ..ops.fused_dynamics import exact_tanh_mlp_trace
 
                 dz, tr = exact_tanh_mlp_trace(args["ps"], state.z)
+            elif planar_form:
+                dz, tr = _planar_exact(nn, args["ps"], state.z, args.get("ys"))
             else:
                 dz, tr = exact(args["ps"], state.z, args.get("ys"))
             return TestState(z=dz, dlogp=-tr)
