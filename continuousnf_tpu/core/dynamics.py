@@ -49,6 +49,18 @@ class TrainState(NamedTuple):
     reg_n: jax.Array  # (B,)  integral of ||eps^T J|| (or ||J eps||)
 
 
+def safe_norm(v: jax.Array, axis: int = -1) -> jax.Array:
+    """L2 norm with a well-defined (zero) gradient at v = 0.
+
+    `jnp.linalg.norm` backpropagates v/||v|| — NaN at exactly zero, which
+    poisons the adjoint solve (e.g. the lambda3 term on passive augmented
+    dims that stay identically 0).  Double-where keeps values exact.
+    """
+    sq = jnp.sum(v * v, axis=axis)
+    pos = sq > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, sq, 1.0)), 0.0)
+
+
 def _batch_apply(
     nn_apply: Callable[[Any, jax.Array], jax.Array],
     ps: Any,
@@ -115,12 +127,12 @@ def _hutchinson_field(nn_apply, compute_mode: ComputeMode):
             dz, vjp_fn = jax.vjp(lambda zz: _batch_apply(nn_apply, ps, zz, ys), z)
             eJ = jax.vmap(lambda e: vjp_fn(e)[0])(eps)  # (K, B, dz)
             tr_est = jnp.mean(jnp.sum(eJ * eps, axis=-1), axis=0)  # (B,)
-            n_rate = jnp.mean(jnp.linalg.norm(eJ, axis=-1), axis=0)  # (B,)
+            n_rate = jnp.mean(safe_norm(eJ), axis=0)  # (B,)
         else:
             dz, lin = jax.linearize(lambda zz: _batch_apply(nn_apply, ps, zz, ys), z)
             Je = jax.vmap(lin)(eps)  # (K, B, dz)
             tr_est = jnp.mean(jnp.sum(eps * Je, axis=-1), axis=0)
-            n_rate = jnp.mean(jnp.linalg.norm(Je, axis=-1), axis=0)
+            n_rate = jnp.mean(safe_norm(Je), axis=0)
         return dz, tr_est, n_rate
 
     return field
@@ -247,7 +259,7 @@ def make_augmented_dynamics(
     def f_train(t, state: TrainState, args):
         dz, tr_est, n_rate = hutch(args["ps"], state.z, args.get("ys"), args["eps"])
         zero = jnp.zeros_like(tr_est)
-        reg_e = jnp.linalg.norm(dz, axis=-1) if norm_z else zero
+        reg_e = safe_norm(dz) if norm_z else zero
         reg_n = n_rate if norm_j else zero
         return TrainState(z=dz, dlogp=-tr_est, reg_e=reg_e, reg_n=reg_n)
 

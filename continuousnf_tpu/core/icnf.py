@@ -234,10 +234,14 @@ def _solve(icnf: ICNF, mode: Mode, state0, args, t0, t1):
 def _final_regs(icnf: ICNF, mode: Mode, stateT) -> Regs:
     B = stateT.z.shape[0]
     zero = jnp.zeros((B,), icnf.dtype)
-    if icnf.lam3 != 0.0 and icnf.augmented:
+    if icnf.lam3 != 0.0 and icnf.augmented and not icnf.aug_passive:
+        from .dynamics import safe_norm
+
         z_aug = stateT.z[:, icnf.zdim - icnf.n_aug_input :]
-        a = jnp.linalg.norm(z_aug, axis=-1)
+        a = safe_norm(z_aug)
     else:
+        # Passive augmentation: z_aug is identically 0, so Adot == 0 — no
+        # gradient path needed (and ||0|| has no well-defined one).
         a = zero
     if mode == Mode.TRAIN:
         return Regs(e=stateT.reg_e, n=stateT.reg_n, a=a)
