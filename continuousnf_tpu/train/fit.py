@@ -133,14 +133,17 @@ def _make_epochs_fn(
         (ps, opt_state), ls = jax.lax.scan(step, (ps, opt_state), inputs)
         return ps, opt_state, jnp.mean(ls)
 
-    def epochs(ps, opt_state, xs, ys, base_key):
-        def body(carry, ekey):
+    def epochs(ps, opt_state, xs, ys, train_key, epoch_base):
+        def body(carry, idx):
             ps, opt_state = carry
+            # Per-epoch keys derive from the GLOBAL epoch index so chunk
+            # sizing (which adapts to wall-clock) never changes the math.
+            ekey = jax.random.fold_in(train_key, idx)
             ps, opt_state, l = one_epoch(ps, opt_state, xs, ys, ekey)
             return (ps, opt_state), l
 
-        keys = jax.random.split(base_key, epochs_per_call)
-        (ps, opt_state), ls = jax.lax.scan(body, (ps, opt_state), keys)
+        idxs = epoch_base + jnp.arange(epochs_per_call)
+        (ps, opt_state), ls = jax.lax.scan(body, (ps, opt_state), idxs)
         return ps, opt_state, ls
 
     return jax.jit(epochs)
@@ -206,9 +209,10 @@ def fit(
             cs = min(chunk, remaining)
             if cs not in fns:
                 fns[cs] = _make_epochs_fn(model, n, has_cond, opt, mesh, epochs_per_call=cs)
-            ckey = jax.random.fold_in(train_key, epoch_i)
             t_call = time.perf_counter()
-            ps, opt_state, ls = fns[cs](ps, opt_state, xs, ys, ckey)
+            ps, opt_state, ls = fns[cs](
+                ps, opt_state, xs, ys, train_key, jnp.asarray(epoch_i, jnp.int32)
+            )
             if epoch_cost is None and ci > 0:
                 # Second chunk=1 call is compile-free: measure the epoch cost
                 # (host readback closes the region) and pick the chunk size.
