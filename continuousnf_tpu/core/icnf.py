@@ -299,6 +299,11 @@ def inference(
                 icnf.compute_mode.eps_dist,
                 icnf.dtype,
             )
+            if icnf.aug_passive and icnf.n_aug_input:
+                # Passive dims have a zero field row/column: probing them only
+                # adds variance to the trace estimate.  Restrict probes to the
+                # active subspace (same expectation, lower variance).
+                eps = eps.at[..., icnf.zdim - icnf.n_aug_input :].set(0.0)
         state0 = TrainState(z=z0, dlogp=zeros_b, reg_e=zeros_b, reg_n=zeros_b)
         args = {"ps": ps, "eps": eps, "ys": ys}
         t0, t1 = _steer_tspan(icnf, mode, steer_key)
