@@ -236,11 +236,33 @@ def fit(
 
 def transform(result: FitResult, X: Any, Y: Any = None, *, batch_size: int = 0) -> jax.Array:
     """TestMode density scoring: px = exp(logpx) (reference `transform`,
-    `core_icnf.jl:94-122`, which returns `DataFrame(px = exp.(logp))`)."""
+    `core_icnf.jl:94-122`, which returns `DataFrame(px = exp.(logp))`).
+
+    `batch_size > 0` evaluates in fixed-size chunks (one compiled executable,
+    zero-padding on the tail) — for datasets too large for one device call.
+    """
     icnf = result.icnf
     xs = jnp.asarray(X, icnf.dtype)
     ys = jnp.asarray(Y, icnf.dtype) if Y is not None else None
-    logpx, _, _ = inference(icnf, Mode.TEST, xs, result.ps, ys=ys)
+    if batch_size and xs.shape[0] > batch_size:
+        n = xs.shape[0]
+        n_chunks, pad = _pad_count(n, batch_size)
+        xs_p = jnp.concatenate([xs, jnp.zeros((pad, xs.shape[1]), icnf.dtype)])
+        xb = xs_p.reshape(n_chunks, batch_size, -1)
+        yb = None
+        if ys is not None:
+            ys_p = jnp.concatenate([ys, jnp.zeros((pad, ys.shape[1]), icnf.dtype)])
+            yb = ys_p.reshape(n_chunks, batch_size, -1)
+
+        @jax.jit
+        def score(bx, by):
+            lp, _, _ = inference(icnf, Mode.TEST, bx, result.ps, ys=by)
+            return lp
+
+        parts = [score(xb[i], None if yb is None else yb[i]) for i in range(n_chunks)]
+        logpx = jnp.concatenate(parts)[:n]
+    else:
+        logpx, _, _ = inference(icnf, Mode.TEST, xs, result.ps, ys=ys)
     return jnp.exp(logpx)
 
 
