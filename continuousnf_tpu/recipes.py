@@ -193,6 +193,40 @@ def beta_readme(
     return result, _metrics(est, actual, result)
 
 
+def conditional_gaussian(
+    key: jax.Array,
+    n: int = 2048,
+    n_epochs: int = 400,
+    batch_size: int = 128,
+    lr: float = 1e-3,
+) -> Tuple[FitResult, DensityReport]:
+    """CondRNODE conditional density estimation (BASELINE config #3).
+
+    Data: y ~ U(-1, 1), x | y ~ N(0.7 y, 0.3^2) — the conditional density is
+    analytic, so the reference's mad/msd/tv <= 0.1 gate applies directly to
+    the learned p(x | y) via `CondICNFDist`-style evaluation.
+    """
+    from .core.icnf import CondRNODE
+
+    data_key, fit_key = jax.random.split(key)
+    ky, kx = jax.random.split(data_key)
+    ys = jax.random.uniform(ky, (n, 1), minval=-1.0, maxval=1.0)
+    xs = 0.7 * ys + 0.3 * jax.random.normal(kx, (n, 1))
+
+    nn = MLP((2, 64, 64, 1))  # input = concat([x, y])
+    icnf = construct(CondRNODE, nn, 1, 0, tspan=(0.0, 13.0), steer_rate=0.1)
+    steps = n_epochs * (-(-n // batch_size))
+    opt = optax.lion(optax.cosine_decay_schedule(lr, steps, alpha=0.02), b1=0.9, b2=0.99)
+    model = ICNFModel(icnf, optimizers=(opt,), n_epochs=n_epochs, batch_size=batch_size)
+    result = fit(model, xs, ys, key=fit_key)
+
+    logpx, _, _ = inference(icnf, Mode.TEST, xs, result.ps, ys=ys)
+    est = np.asarray(jnp.exp(logpx))
+    z = (np.asarray(xs)[:, 0] - 0.7 * np.asarray(ys)[:, 0]) / 0.3
+    actual = np.exp(-0.5 * z**2) / (0.3 * np.sqrt(2 * np.pi))
+    return result, _metrics(est, actual, result)
+
+
 def toy2d(
     key: jax.Array,
     dataset: str = "moons",
@@ -216,4 +250,11 @@ def toy2d(
     return result, float(jnp.mean(logpx))
 
 
-__all__ = ["DensityReport", "beta_unaugmented", "beta_readme", "toy2d", "slice_norm_1d"]
+__all__ = [
+    "DensityReport",
+    "beta_unaugmented",
+    "beta_readme",
+    "conditional_gaussian",
+    "toy2d",
+    "slice_norm_1d",
+]

@@ -60,6 +60,9 @@ def main():
         gated=False,
     )
 
+    _, rep4 = recipes.conditional_gaussian(key, n_epochs=100 if args.fast else 400)
+    record("Conditional Gaussian, CondRNODE (ICNFDist-style p(x|y) vs analytic)", rep4)
+
     for ds in ["moons", "circles"]:
         _, ll = recipes.toy2d(key, ds, n_epochs=50 if args.fast else 300)
         lines.append(f"## 2D {ds}, FFJORD naug=0: mean test log-likelihood = {ll:.3f}")
