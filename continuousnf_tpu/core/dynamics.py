@@ -233,6 +233,8 @@ def make_augmented_dynamics(
 
         use_fused = supports_fusion(nn)
 
+    hutch = _hutchinson_field(nn_apply, compute_mode)
+
     if use_fused:
         from ..ops.fused_dynamics import fused_tanh_mlp_dynamics
 
@@ -240,7 +242,16 @@ def make_augmented_dynamics(
 
         def f_train_fused(t, state: TrainState, args):
             if args.get("ys") is not None:
-                raise ValueError("fused dynamics does not support conditioning yet")
+                # Conditioning changes the network input width; the fused
+                # kernel covers the unconditional net only — fall back.
+                dz, tr_est, n_rate = hutch(args["ps"], state.z, args["ys"], args["eps"])
+                zero = jnp.zeros_like(tr_est)
+                return TrainState(
+                    z=dz,
+                    dlogp=-tr_est,
+                    reg_e=safe_norm(dz) if norm_z else zero,
+                    reg_n=n_rate if norm_j else zero,
+                )
             dz, tr_est, e_rate, n_rate = fused_tanh_mlp_dynamics(
                 args["ps"], state.z, args["eps"][0], interpret=interpret
             )
@@ -253,8 +264,6 @@ def make_augmented_dynamics(
             )
 
         return f_train_fused
-
-    hutch = _hutchinson_field(nn_apply, compute_mode)
 
     def f_train(t, state: TrainState, args):
         dz, tr_est, n_rate = hutch(args["ps"], state.z, args.get("ys"), args["eps"])

@@ -228,7 +228,16 @@ def _solve(icnf: ICNF, mode: Mode, state0, args, t0, t1):
         norm_j=icnf.lam2 != 0.0,
         passive_aug_dims=icnf.n_aug_input if icnf.aug_passive else 0,
     )
-    return odeint_with_stats(f, state0, t0, t1, args, icnf.solver)
+    # Solve-in-kernel fast path: the whole adaptive while-loop runs inside one
+    # Pallas kernel when the model/config supports it (see ops/fused_solve.py).
+    full_solve = None
+    if args.get("ys") is None:
+        from ..ops.fused_solve import make_full_solve
+
+        full_solve = make_full_solve(icnf, mode, batch=state0.z.shape[0])
+    return odeint_with_stats(
+        f, state0, t0, t1, args, icnf.solver, full_solve=full_solve
+    )
 
 
 def _final_regs(icnf: ICNF, mode: Mode, stateT) -> Regs:

@@ -34,20 +34,28 @@ def _forward_opts(opts: SolverOptions) -> SolverOptions:
     return dataclasses.replace(opts, adjoint=Adjoint.NONE)
 
 
-def odeint_backsolve_flat(func_flat, opts: SolverOptions, y0f, t0, t1, args):
+def odeint_backsolve_flat(func_flat, opts: SolverOptions, y0f, t0, t1, args, full_solve=None):
     """Entry point used by `solve.odeint_with_stats` for Adjoint.BACKSOLVE.
 
     `func_flat(yf, t, args) -> dyf` operates on the flat state.  Closed-over
     tracers are converted to explicit arguments before the custom_vjp wrapper
     so they receive gradients.
+
+    `full_solve`, when given, replaces the *forward* solve only (e.g. the
+    Pallas solve-in-kernel megakernel); the backward adjoint re-integration
+    always uses `func_flat`, so gradients are unaffected by how the forward
+    trajectory was computed (up to its floating-point noise).
     """
     converted, consts = jax.closure_convert(func_flat, y0f, t0, args)
-    return _odeint_backsolve(converted, opts, y0f, t0, t1, args, tuple(consts))
+    return _odeint_backsolve(converted, opts, full_solve, y0f, t0, t1, args, tuple(consts))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _odeint_backsolve(func, opts, y0f, t0, t1, args, consts):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _odeint_backsolve(func, opts, full_solve, y0f, t0, t1, args, consts):
     from .solve import _solve_forward_flat
+
+    if full_solve is not None:
+        return full_solve(y0f, t0, t1, args)
 
     def ff(yf, t, pk):
         a, c = pk
@@ -56,12 +64,12 @@ def _odeint_backsolve(func, opts, y0f, t0, t1, args, consts):
     return _solve_forward_flat(ff, _forward_opts(opts), y0f, t0, t1, (args, consts))
 
 
-def _odeint_backsolve_fwd(func, opts, y0f, t0, t1, args, consts):
-    yf, stats = _odeint_backsolve(func, opts, y0f, t0, t1, args, consts)
+def _odeint_backsolve_fwd(func, opts, full_solve, y0f, t0, t1, args, consts):
+    yf, stats = _odeint_backsolve(func, opts, full_solve, y0f, t0, t1, args, consts)
     return (yf, stats), (yf, t0, t1, args, consts)
 
 
-def _odeint_backsolve_bwd(func, opts, residuals, cotangents):
+def _odeint_backsolve_bwd(func, opts, full_solve, residuals, cotangents):
     from .solve import _solve_forward_flat
 
     yT, t0, t1, args, consts = residuals

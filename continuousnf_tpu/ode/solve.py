@@ -332,6 +332,7 @@ def odeint_with_stats(
     t1,
     args: Any = None,
     opts: SolverOptions = SolverOptions(),
+    full_solve: Callable = None,
 ) -> Tuple[Any, SolveStats]:
     """Integrate `dy/dt = func(t, y, args)` from t0 to t1 (t1 < t0 runs backward).
 
@@ -339,6 +340,13 @@ def odeint_with_stats(
     state and solve statistics (attempted/accepted steps, NFE).  Gradient
     behavior is selected by `opts.adjoint`; for BACKSOLVE the stats carry no
     gradients.
+
+    `full_solve(y0f, t0, t1, args) -> (yTf, stats)`, when given, replaces the
+    forward while-loop solve on the flat state with a fused implementation
+    (the solve-in-kernel Pallas megakernel, `ops/fused_solve.py`).  It is
+    forward-only: under BACKSOLVE it substitutes the custom_vjp's forward pass
+    (gradients still come from the adjoint re-integration with `func`); the
+    DIRECT and fixed-step paths ignore it.
     """
     y0f, unravel = ravel_pytree(y0)
     t0 = jnp.asarray(t0, y0f.dtype)
@@ -352,7 +360,15 @@ def odeint_with_stats(
     if opts.adjoint == Adjoint.BACKSOLVE and opts.fixed_num_steps is None:
         from .adjoint import odeint_backsolve_flat
 
-        yf, stats = odeint_backsolve_flat(func_flat, opts, y0f, t0, t1, args)
+        yf, stats = odeint_backsolve_flat(
+            func_flat, opts, y0f, t0, t1, args, full_solve=full_solve
+        )
+    elif (
+        full_solve is not None
+        and opts.adjoint == Adjoint.NONE
+        and opts.fixed_num_steps is None
+    ):
+        yf, stats = full_solve(y0f, t0, t1, args)
     else:
         yf, stats = _solve_forward_flat(func_flat, opts, y0f, t0, t1, args)
     return unravel(yf), stats

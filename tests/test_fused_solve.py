@@ -1,0 +1,124 @@
+"""Parity tests: solve-in-kernel Pallas megakernel vs the XLA while-loop path.
+
+The megakernel (`ops/fused_solve.py`) must reproduce the plain solver's
+numerics: same controller decisions (steps/accepted), same final state up to
+matmul-reassociation noise, and consistent gradients through the backsolve
+adjoint.  Runs in Pallas interpreter mode on CPU (conftest pins
+JAX_PLATFORMS=cpu with an 8-device mesh)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+import continuousnf_tpu as cnf
+from continuousnf_tpu import Mode
+from continuousnf_tpu.ops.fused_solve import make_full_solve
+
+
+def _make(fused: bool, *, lam3=0.0, naug=2, steer=0.0):
+    nvars = 3
+    n_in = nvars + naug
+    nn = cnf.MLP((n_in, 3 * n_in, n_in))
+    return cnf.construct(
+        cnf.RNODE,
+        nn,
+        nvars,
+        naug,
+        steer_rate=steer,
+        lam3=lam3,
+        compute_mode=cnf.VecJacMode(fused=fused),
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    icnf_ref = _make(False)
+    icnf_fused = _make(True)
+    ps = icnf_ref.init(jax.random.PRNGKey(0))
+    xs = jax.random.normal(jax.random.PRNGKey(1), (16, 3), jnp.float32)
+    eps = jax.random.normal(jax.random.PRNGKey(2), (1, 16, icnf_ref.zdim), jnp.float32)
+    return icnf_ref, icnf_fused, ps, xs, eps
+
+
+def test_eligibility(setup):
+    icnf_ref, icnf_fused, *_ = setup
+    assert make_full_solve(icnf_ref, Mode.TRAIN, 16) is None  # fused flag off
+    assert make_full_solve(icnf_fused, Mode.TRAIN, 16) is not None
+    assert make_full_solve(icnf_fused, Mode.TEST, 16) is not None
+    # K>1 probes: TRAIN kernel does not apply, TEST still does.
+    icnf_k2 = _make(True)
+    icnf_k2 = cnf.construct(
+        cnf.RNODE, icnf_k2.nn, 3, 2, compute_mode=cnf.VecJacMode(num_probes=2, fused=True)
+    )
+    assert make_full_solve(icnf_k2, Mode.TRAIN, 16) is None
+    assert make_full_solve(icnf_k2, Mode.TEST, 16) is not None
+
+
+def test_train_forward_parity(setup):
+    icnf_ref, icnf_fused, ps, xs, eps = setup
+    key = jax.random.PRNGKey(3)
+    lp_ref, regs_ref, st_ref = cnf.inference(icnf_ref, Mode.TRAIN, xs, ps, key=key, eps=eps)
+    lp_f, regs_f, st_f = cnf.inference(icnf_fused, Mode.TRAIN, xs, ps, key=key, eps=eps)
+    assert int(st_f.steps) == int(st_ref.steps)
+    assert int(st_f.accepted) == int(st_ref.accepted)
+    assert int(st_f.nfe) == int(st_ref.nfe)
+    assert jnp.allclose(lp_f, lp_ref, rtol=1e-4, atol=1e-4)
+    assert jnp.allclose(regs_f.e, regs_ref.e, rtol=1e-4, atol=1e-4)
+    assert jnp.allclose(regs_f.n, regs_ref.n, rtol=1e-4, atol=1e-4)
+
+
+def test_test_forward_parity(setup):
+    icnf_ref, icnf_fused, ps, xs, _ = setup
+    lp_ref, _, st_ref = cnf.inference(icnf_ref, Mode.TEST, xs, ps)
+    lp_f, _, st_f = cnf.inference(icnf_fused, Mode.TEST, xs, ps)
+    assert int(st_f.steps) == int(st_ref.steps)
+    assert jnp.allclose(lp_f, lp_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_grad_parity(setup):
+    icnf_ref, icnf_fused, ps, xs, eps = setup
+    key = jax.random.PRNGKey(4)
+
+    def loss_of(icnf):
+        return lambda p: cnf.loss(icnf, Mode.TRAIN, xs, p, key=key, eps=eps)
+
+    g_ref = jax.grad(loss_of(icnf_ref))(ps)
+    g_f = jax.grad(loss_of(icnf_fused))(ps)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_f)):
+        assert jnp.allclose(a, b, rtol=2e-3, atol=2e-4), (a - b)
+
+
+def test_generate_parity(setup):
+    icnf_ref, icnf_fused, ps, *_ = setup
+    key = jax.random.PRNGKey(5)
+    s_ref = cnf.generate(icnf_ref, Mode.TEST, ps, 8, key=key)
+    s_f = cnf.generate(icnf_fused, Mode.TEST, ps, 8, key=key)
+    assert jnp.allclose(s_f, s_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_lam3_steer_path(setup):
+    """Steering + lambda3 (regression-config flags) work through the kernel."""
+    icnf_ref = _make(False, lam3=1e-2, steer=0.1)
+    icnf_fused = _make(True, lam3=1e-2, steer=0.1)
+    ps = icnf_ref.init(jax.random.PRNGKey(0))
+    xs = jax.random.normal(jax.random.PRNGKey(1), (8, 3), jnp.float32)
+    eps = jax.random.normal(jax.random.PRNGKey(2), (1, 8, icnf_ref.zdim), jnp.float32)
+    key = jax.random.PRNGKey(6)
+    lp_ref, regs_ref, _ = cnf.inference(icnf_ref, Mode.TRAIN, xs, ps, key=key, eps=eps)
+    lp_f, regs_f, _ = cnf.inference(icnf_fused, Mode.TRAIN, xs, ps, key=key, eps=eps)
+    assert jnp.allclose(lp_f, lp_ref, rtol=1e-4, atol=1e-4)
+    assert jnp.allclose(regs_f.a, regs_ref.a, rtol=1e-4, atol=1e-4)
+
+
+def test_jit_inside(setup):
+    """The megakernel path composes with jit (the trainer always jits)."""
+    _, icnf_fused, ps, xs, eps = setup
+    key = jax.random.PRNGKey(7)
+
+    @jax.jit
+    def f(p):
+        return cnf.loss(icnf_fused, Mode.TRAIN, xs, p, key=key, eps=eps)
+
+    v, g = jax.value_and_grad(f)(ps)
+    assert jnp.isfinite(v)
+    assert all(bool(jnp.all(jnp.isfinite(x))) for x in jax.tree.leaves(g))
