@@ -55,7 +55,7 @@ def _odeint_backsolve(func, opts, full_solve, y0f, t0, t1, args, consts):
     from .solve import _solve_forward_flat
 
     if full_solve is not None:
-        return full_solve(y0f, t0, t1, args)
+        return full_solve.forward(y0f, t0, t1, args)
 
     def ff(yf, t, pk):
         a, c = pk
@@ -81,6 +81,19 @@ def _odeint_backsolve_bwd(func, opts, full_solve, residuals, cotangents):
     # dL/dt1 = <g, f(y(t1), t1)>  (gradient of the solution w.r.t. the end time)
     f_T = f_of(t1, yT, args, consts)
     dt1 = jnp.sum(g_y * f_T).astype(t1.dtype)
+
+    if (
+        full_solve is not None
+        and getattr(full_solve, "adjoint", None) is not None
+        and not consts
+    ):
+        # Fused backward: the whole adjoint integration runs in one Pallas
+        # kernel (ops/fused_solve.py).  consts must be empty — the kernel
+        # computes gradients only w.r.t. args.
+        y0_rec, a_y0, g_args, _ = full_solve.adjoint(yT, g_y, args, t1, t0)
+        f_0 = f_of(t0, y0_rec, args, consts)
+        dt0 = (-jnp.sum(a_y0 * f_0)).astype(t0.dtype)
+        return (a_y0, dt0, dt1, g_args, ())
 
     zeros_args = jax.tree.map(lambda x: jnp.zeros_like(jnp.asarray(x)), args)
     zeros_consts = jax.tree.map(lambda x: jnp.zeros_like(jnp.asarray(x)), consts)

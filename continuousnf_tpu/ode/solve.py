@@ -368,7 +368,7 @@ def odeint_with_stats(
         and opts.adjoint == Adjoint.NONE
         and opts.fixed_num_steps is None
     ):
-        yf, stats = full_solve(y0f, t0, t1, args)
+        yf, stats = full_solve.forward(y0f, t0, t1, args)
     else:
         yf, stats = _solve_forward_flat(func_flat, opts, y0f, t0, t1, args)
     return unravel(yf), stats

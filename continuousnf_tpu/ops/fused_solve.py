@@ -63,6 +63,15 @@ _EEST_FLOOR = 1.0e-4
 _VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 
 
+def _safe_col_norm(v: jax.Array) -> jax.Array:
+    """Per-column L2 norm over rows with a zero (not NaN) gradient at v=0 —
+    the (rows, B) analog of `core.dynamics.safe_norm` (the adjoint kernel
+    differentiates the stage with `jax.vjp`, so gradient behavior matters)."""
+    sq = jnp.sum(v * v, axis=0, keepdims=True)
+    pos = sq > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, sq, 1.0)), 0.0)
+
+
 def _stage_train(zt, epst, w1, b1c, w2, b2c, norm_z: bool, norm_j: bool):
     """One TRAIN dynamics eval in (rows, B) layout.
 
@@ -84,11 +93,11 @@ def _stage_train(zt, epst, w1, b1c, w2, b2c, norm_z: bool, norm_j: bool):
     eJ = jax.lax.dot_general(w1, g1, (((1,), (0,)), ((), ())), preferred_element_type=f32)
     tr = jnp.sum(eJ * epst, axis=0, keepdims=True)  # (1, B)
     if norm_z:
-        e_rate = jnp.sqrt(jnp.sum(y * y, axis=0, keepdims=True))
+        e_rate = _safe_col_norm(y)
     else:
         e_rate = jnp.zeros_like(tr)
     if norm_j:
-        n_rate = jnp.sqrt(jnp.sum(eJ * eJ, axis=0, keepdims=True))
+        n_rate = _safe_col_norm(eJ)
     else:
         n_rate = jnp.zeros_like(tr)
     rates = jnp.concatenate([-tr, e_rate, n_rate], axis=0)  # (3, B)
@@ -348,13 +357,259 @@ def _run_solve_kernel(
     return zT_t.T, accT, stats[0, 0], stats[0, 1]
 
 
+def _make_adjoint_kernel(
+    tab: ButcherTableau,
+    *,
+    train: bool,
+    norm_z: bool,
+    norm_j: bool,
+    rtol: float,
+    atol: float,
+    max_steps: int,
+    n_elems: int,
+):
+    """Kernel for the continuous-adjoint (backsolve) backward integration.
+
+    State blocks: y = (z, acc), a_y = (a_z, a_acc), param grads gp, and (TRAIN)
+    probe grad g_eps.  The augmented dynamics stage is generated by `jax.vjp`
+    of the forward stage at TRACE time — the transposed second-order math
+    lowers into the kernel as plain matmul/elementwise ops.  a_acc is constant
+    (the field never reads the accumulators) and acc/gp/g_eps never feed back
+    into stages, so only (z, a_z) carry stage registers.
+
+    The kernel runs on a grid over batch tiles (the doubled adjoint working
+    set does not fit VMEM at large B): each tile integrates its sub-batch
+    with its own adaptive grid — a valid (if anything tighter) error control
+    for the gradient path; param grads accumulate across the sequential grid
+    iterations.  With one tile the control decisions match the XLA backward
+    exactly.
+    """
+    beta1 = 7.0 / (10.0 * tab.order)
+    beta2 = 2.0 / (5.0 * tab.order)
+
+    def kernel(ts_ref, z_ref, acc_ref, az_ref, aacc_ref, *rest):
+        if train:
+            (eps_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+             z0_ref, acc0_ref, az0_ref, gw1_ref, gb1_ref, gw2_ref, gb2_ref,
+             geps_ref, st_ref) = rest
+            epst = eps_ref[:]
+        else:
+            (w1_ref, b1_ref, w2_ref, b2_ref,
+             z0_ref, acc0_ref, az0_ref, gw1_ref, gb1_ref, gw2_ref, gb2_ref,
+             st_ref) = rest
+            epst = None
+        w1 = w1_ref[:]
+        b1c = b1_ref[:]
+        w2 = w2_ref[:]
+        b2c = b2_ref[:]
+        aacc = aacc_ref[:]  # constant over the backward solve
+
+        def aug_stage(zi, azi):
+            """(kz, k_acc_rates, k_az, k_gp(4-tuple), k_geps|None)."""
+            if train:
+                (kz, kr), vjp = jax.vjp(
+                    lambda z_, w1_, b1_, w2_, b2_, e_: _stage_train(
+                        z_, e_, w1_, b1_, w2_, b2_, norm_z, norm_j
+                    ),
+                    zi, w1, b1c, w2, b2c, epst,
+                )
+                zb, w1b, b1b, w2b, b2b, epsb = vjp((azi, aacc))
+                return kz, kr, -zb, (-w1b, -b1b, -w2b, -b2b), -epsb
+            (kz, kr), vjp = jax.vjp(
+                lambda z_, w1_, b1_, w2_, b2_: _stage_test(z_, w1_, b1_, w2_, b2_),
+                zi, w1, b1c, w2, b2c,
+            )
+            zb, w1b, b1b, w2b, b2b = vjp((azi, aacc))
+            return kz, kr, -zb, (-w1b, -b1b, -w2b, -b2b), None
+
+        f32 = jnp.float32
+        t0 = ts_ref[0, 0]  # solve runs t0 -> t1 = tspan end -> start
+        t1 = ts_ref[0, 1]
+        dt0 = ts_ref[0, 2]
+        tdir = jnp.sign(t1 - t0)
+
+        z_init = z_ref[:]
+        az_init = az_ref[:]
+        kz0, kr0, kaz0, kgp0, kge0 = aug_stage(z_init, az_init)
+        gp0 = tuple(jnp.zeros_like(g) for g in kgp0)
+        ge0 = jnp.zeros_like(kge0) if train else None
+
+        # carry: (t, dt, eest_prev, steps, accepted,
+        #         z, acc, az, gp(4), ge?, k1z, k1r, k1az, k1gp(4), k1ge?)
+        init = (
+            t0,
+            dt0,
+            jnp.asarray(1.0, f32),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32),
+            z_init,
+            acc_ref[:],
+            az_init,
+            gp0,
+            ge0,
+            kz0,
+            kr0,
+            kaz0,
+            kgp0,
+            kge0,
+        )
+
+        def cond(c):
+            return ((c[0] - t1) * tdir < 0) & (c[3] < max_steps)
+
+        def body(c):
+            (t, dt, eest_prev, steps, accepted,
+             z, acc, az, gp, ge, k1z, k1r, k1az, k1gp, k1ge) = c
+            remaining = jnp.abs(t1 - t)
+            is_last = jnp.abs(dt) >= remaining
+            dt_use = tdir * jnp.minimum(jnp.abs(dt), remaining)
+
+            ksz, ksr, ksaz, ksgp, ksge = [k1z], [k1r], [k1az], [k1gp], [k1ge]
+            for i in range(1, tab.num_stages):
+                zi = z
+                azi = az
+                for j, aij in enumerate(tab.a[i]):
+                    if aij != 0.0:
+                        zi = zi + (dt_use * f32(aij)) * ksz[j]
+                        azi = azi + (dt_use * f32(aij)) * ksaz[j]
+                out = aug_stage(zi, azi)
+                ksz.append(out[0])
+                ksr.append(out[1])
+                ksaz.append(out[2])
+                ksgp.append(out[3])
+                ksge.append(out[4])
+
+            def comb(base, ks, coeffs):
+                out = base
+                for i, ci in enumerate(coeffs):
+                    if ci != 0.0:
+                        out = out + (dt_use * f32(ci)) * ks[i]
+                return out
+
+            z_new = comb(z, ksz, tab.b)
+            acc_new = comb(acc, ksr, tab.b)
+            az_new = comb(az, ksaz, tab.b)
+            gp_new = tuple(
+                comb(gp[m], [k[m] for k in ksgp], tab.b) for m in range(4)
+            )
+            ge_new = comb(ge, ksge, tab.b) if train else None
+
+            zero = lambda x: jnp.zeros_like(x)
+            err_z = comb(zero(z), ksz, tab.btilde)
+            err_acc = comb(zero(acc), ksr, tab.btilde)
+            err_az = comb(zero(az), ksaz, tab.btilde)
+            err_gp = tuple(
+                comb(zero(gp[m]), [k[m] for k in ksgp], tab.btilde) for m in range(4)
+            )
+            err_ge = comb(zero(ge), ksge, tab.btilde) if train else None
+
+            def blk(err, old, new):
+                sc = atol + rtol * jnp.maximum(jnp.abs(old), jnp.abs(new))
+                return jnp.sum(jnp.square(err / sc))
+
+            sumsq = (
+                blk(err_z, z, z_new)
+                + blk(err_acc, acc, acc_new)
+                + blk(err_az, az, az_new)
+            )
+            for m in range(4):
+                sumsq = sumsq + blk(err_gp[m], gp[m], gp_new[m])
+            if train:
+                sumsq = sumsq + blk(err_ge, ge, ge_new)
+            # a_acc has zero rates: contributes 0 to sumsq but counts in n_elems.
+            eest = jnp.sqrt(sumsq / n_elems)
+            finite = (
+                jnp.isfinite(eest)
+                & jnp.all(jnp.isfinite(z_new))
+                & jnp.all(jnp.isfinite(az_new))
+            )
+            accept = (eest <= 1.0) & finite
+
+            powp = lambda x, p: jnp.exp(f32(p) * jnp.log(x))
+            eest_c = jnp.maximum(eest, f32(_EEST_FLOOR))
+            q_acc = _SAFETY * powp(eest_c, -beta1) * powp(eest_prev, beta2)
+            q_acc = jnp.where(jnp.isfinite(q_acc), q_acc, _QMIN)
+            q_rej = _SAFETY * powp(eest_c, -1.0 / tab.order)
+            q_rej = jnp.where(jnp.isfinite(q_rej), q_rej, _QMIN)
+            q_rej = jnp.where(finite, q_rej, f32(_QMIN))
+            dt_next = jnp.where(
+                accept,
+                dt_use * jnp.clip(q_acc, _QMIN, _QMAX),
+                dt_use * jnp.clip(q_rej, _QMIN, 1.0),
+            )
+            t_next = jnp.where(accept, jnp.where(is_last, t1, t + dt_use), t)
+            sel = lambda a, b: jnp.where(accept, a, b)
+            return (
+                t_next,
+                dt_next,
+                jnp.where(accept, eest_c, eest_prev),
+                steps + 1,
+                accepted + accept.astype(jnp.int32),
+                sel(z_new, z),
+                sel(acc_new, acc),
+                sel(az_new, az),
+                tuple(sel(gp_new[m], gp[m]) for m in range(4)),
+                sel(ge_new, ge) if train else None,
+                sel(ksz[-1], k1z),
+                sel(ksr[-1], k1r),
+                sel(ksaz[-1], k1az),
+                tuple(sel(ksgp[-1][m], k1gp[m]) for m in range(4)),
+                sel(ksge[-1], k1ge) if train else None,
+            )
+
+        final = jax.lax.while_loop(cond, body, init)
+        (_, _, _, steps_f, accepted_f, z_f, acc_f, az_f, gp_f, ge_f, *_rest) = final
+        z0_ref[:] = z_f
+        acc0_ref[:] = acc_f
+        az0_ref[:] = az_f
+        if train:
+            geps_ref[:] = ge_f
+
+        # Param grads / stats accumulate across the (sequential) batch tiles.
+        tile0 = pl.program_id(0) == 0
+
+        @pl.when(tile0)
+        def _():
+            gw1_ref[:] = gp_f[0]
+            gb1_ref[:] = gp_f[1]
+            gw2_ref[:] = gp_f[2]
+            gb2_ref[:] = gp_f[3]
+            st_ref[0, 0] = steps_f
+            st_ref[0, 1] = accepted_f
+
+        @pl.when(jnp.logical_not(tile0))
+        def _():
+            gw1_ref[:] = gw1_ref[:] + gp_f[0]
+            gb1_ref[:] = gb1_ref[:] + gp_f[1]
+            gw2_ref[:] = gw2_ref[:] + gp_f[2]
+            gb2_ref[:] = gb2_ref[:] + gp_f[3]
+            st_ref[0, 0] = st_ref[0, 0] + steps_f
+            st_ref[0, 1] = st_ref[0, 1] + accepted_f
+
+    return kernel
+
+
+class FullSolve(NamedTuple):
+    """Fused solve implementations handed to the ODE layer.
+
+    forward: (y0f, t0, t1, args) -> (yTf, stats) — replaces the forward
+             while-loop solve.
+    adjoint: Optional; (yTf, g_yf, args, t_hi, t_lo) ->
+             (y0f, a_y0f, g_args, stats) — replaces the backsolve backward
+             integration (see `ode/adjoint.py`).
+    """
+
+    forward: Callable
+    adjoint: Optional[Callable]
+
+
 def make_full_solve(
     icnf,
     mode: Mode,
     batch: int,
-) -> Optional[Callable]:
-    """Build a flat-state full-solve callable for `ode/solve.odeint_with_stats`,
-    or None when the megakernel does not apply.
+) -> Optional[FullSolve]:
+    """Build the fused solve pair for `ode/solve.odeint_with_stats`, or None
+    when the megakernel does not apply.
 
     Eligibility: opted in via `compute_mode.fused`; unconditional 2-layer
     tanh-MLP net; no passive augmentation; adaptive FSAL method with an
@@ -473,7 +728,229 @@ def make_full_solve(
         )
         return yTf, stats
 
-    return full_solve
+    # ---- backward (continuous adjoint) megakernel ----
+
+    P_total = dz * hidden + hidden + hidden * dz + dz
+
+    def _adjoint_tile_bytes(tile_b: int) -> int:
+        # ~2.5x the forward working set (z and a_z stage registers, the vjp
+        # residuals of every unrolled stage, plus the probe-grad accumulator).
+        return 4 * tile_b * (
+            2 * (tab.num_stages + 4) * (dz + nacc) + 8 * hidden + 8 * dz
+        )
+
+    # Pick the largest divisor-of-B tile that fits the VMEM budget; each tile
+    # runs its own while loop on the (sequential) kernel grid.
+    adjoint_tile = None
+    for cand in (B, *(1 << k for k in range(14, 5, -1))):
+        if cand <= B and B % cand == 0 and _adjoint_tile_bytes(cand) <= _VMEM_BUDGET_BYTES // 2:
+            adjoint_tile = cand
+            break
+
+    def _plain_field_bm(ps, z, eps_b):
+        """Batch-major plain-XLA field (safe norms) — only for the Hairer
+        initial-dt pick of the backward solve (2 evals/solve)."""
+        (p1, p2) = ps
+        w1, b1, w2, b2 = p1["w"], p1["b"], p2["w"], p2["b"]
+        h = jnp.tanh(z @ w1 + b1)
+        y = jnp.tanh(h @ w2 + b2)
+
+        def safe_bm(v):
+            sq = jnp.sum(v * v, axis=-1)
+            pos = sq > 0
+            return jnp.where(pos, jnp.sqrt(jnp.where(pos, sq, 1.0)), 0.0)
+
+        if train:
+            g2 = eps_b * (1.0 - y * y)
+            gh = g2 @ w2.T
+            g1 = gh * (1.0 - h * h)
+            eJ = g1 @ w1.T
+            tr = jnp.sum(eJ * eps_b, axis=-1)
+            e_rate = safe_bm(y) if norm_z else jnp.zeros_like(tr)
+            n_rate = safe_bm(eJ) if norm_j else jnp.zeros_like(tr)
+            rates = jnp.stack([-tr, e_rate, n_rate], axis=-1)  # (B, 3)
+        else:
+            dh = 1.0 - h * h
+            dy = 1.0 - y * y
+            m = w1 * w2.T  # (dz, H)
+            tr = jnp.sum(dy * (dh @ m.T), axis=-1)
+            rates = (-tr)[:, None]  # (B, 1)
+        return y, rates
+
+    def adjoint_solve(yTf, g_yf, args, t_hi, t_lo):
+        """Backward aug solve: (y, a_y, g_ps, g_eps) from t_hi down to t_lo.
+
+        Returns (y0f, a_y0f, g_args, stats); a_acc is constant so its final
+        value equals the incoming cotangent rows.
+        """
+        from jax.flatten_util import ravel_pytree
+
+        from ..ode.solve import SolveStats, _initial_step_size
+
+        ps = args["ps"]
+        eps = args.get("eps")
+        eps_b = eps[0] if train else None
+        (p1, p2) = ps
+
+        zT = yTf[: B * dz].reshape(B, dz)
+        accT = yTf[B * dz :].reshape(nacc, B)
+        azT = g_yf[: B * dz].reshape(B, dz)
+        aaccT = g_yf[B * dz :].reshape(nacc, B)
+
+        t_hi = jnp.asarray(t_hi, jnp.float32)
+        t_lo = jnp.asarray(t_lo, jnp.float32)
+        tdir = jnp.sign(t_lo - t_hi)
+        span = jnp.abs(t_lo - t_hi)
+
+        def plain_aug_rates(z, az, aacc_bm):
+            (kz, kr), vjp = jax.vjp(
+                lambda z_, ps_: _plain_field_bm(ps_, z_, eps_b), z, ps
+            ) if not train else jax.vjp(
+                lambda z_, ps_, e_: _plain_field_bm(ps_, z_, e_), z, ps, eps_b
+            )
+            bars = vjp((az, aacc_bm))
+            neg = lambda x: jax.tree.map(lambda v: -v, x)
+            if train:
+                zb, psb, epsb = bars
+                return kz, kr, neg(zb), neg(psb), neg(epsb)
+            zb, psb = bars
+            return kz, kr, neg(zb), neg(psb), None
+
+        # Structured aug state for the Hairer initial-step pick; RMS norms are
+        # order-invariant, so any consistent packing matches the XLA path.
+        aacc_bm = aaccT.T  # (B, nacc)
+        zeros_ps = jax.tree.map(jnp.zeros_like, ps)
+        S0 = (
+            zT,
+            accT,
+            azT,
+            aacc_bm,
+            zeros_ps,
+            jnp.zeros_like(eps_b) if train else None,
+        )
+        S0f, unravel_S = ravel_pytree(S0)
+
+        def aug_rates_struct(S):
+            z, acc, az, aacc_, gps, ge = S
+            kz, kr, kaz, kgp, kge = plain_aug_rates(z, az, aacc_)
+            return (
+                kz,
+                kr.T,
+                kaz,
+                jnp.zeros_like(aacc_),
+                kgp,
+                kge if train else None,
+            )
+
+        def f_flat(t, uf):
+            return ravel_pytree(aug_rates_struct(unravel_S(uf)))[0]
+
+        nfe_init = 1
+        if opts.dt0 is None:
+            f0 = f_flat(t_hi, S0f)
+            dt_init = _initial_step_size(
+                f_flat, t_hi, S0f, f0, tdir, tab.order, opts.rtol, opts.atol, span
+            )
+            nfe_init = 2
+        else:
+            dt_init = tdir * jnp.abs(jnp.asarray(opts.dt0, jnp.float32))
+
+        TILE = adjoint_tile
+        n_tiles = B // TILE
+        n_elems_adj = 2 * TILE * (dz + nacc) + P_total + (TILE * dz if train else 0)
+        kernel = _make_adjoint_kernel(
+            tab,
+            train=train,
+            norm_z=norm_z,
+            norm_j=norm_j,
+            rtol=opts.rtol,
+            atol=opts.atol,
+            max_steps=opts.max_steps,
+            n_elems=n_elems_adj,
+        )
+        ts = jnp.stack(
+            [t_hi, t_lo, jnp.asarray(dt_init, jnp.float32), jnp.asarray(0.0, jnp.float32)]
+        ).reshape(1, 4)
+
+        btile = lambda rows: pl.BlockSpec(
+            (rows, TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+        wfull = lambda shape: pl.BlockSpec(
+            shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        inputs = [ts, zT.T, accT, azT.T, aaccT]
+        in_specs = [
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            btile(dz),
+            btile(nacc),
+            btile(dz),
+            btile(nacc),
+        ]
+        if train:
+            inputs.append(eps_b.T)
+            in_specs.append(btile(dz))
+        inputs += [p1["w"], p1["b"].reshape(hidden, 1), p2["w"], p2["b"].reshape(dz, 1)]
+        in_specs += [wfull((dz, hidden)), wfull((hidden, 1)), wfull((hidden, dz)), wfull((dz, 1))]
+
+        out_shape = [
+            jax.ShapeDtypeStruct((dz, B), jnp.float32),  # z0
+            jax.ShapeDtypeStruct((nacc, B), jnp.float32),  # acc0
+            jax.ShapeDtypeStruct((dz, B), jnp.float32),  # a_z0
+            jax.ShapeDtypeStruct((dz, hidden), jnp.float32),  # g_w1
+            jax.ShapeDtypeStruct((hidden, 1), jnp.float32),  # g_b1
+            jax.ShapeDtypeStruct((hidden, dz), jnp.float32),  # g_w2
+            jax.ShapeDtypeStruct((dz, 1), jnp.float32),  # g_b2
+        ]
+        out_specs = [
+            btile(dz),
+            btile(nacc),
+            btile(dz),
+            wfull((dz, hidden)),
+            wfull((hidden, 1)),
+            wfull((hidden, dz)),
+            wfull((dz, 1)),
+        ]
+        if train:
+            out_shape.append(jax.ShapeDtypeStruct((dz, B), jnp.float32))  # g_eps
+            out_specs.append(btile(dz))
+        out_shape.append(jax.ShapeDtypeStruct((1, 2), jnp.int32))
+        out_specs.append(pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM))
+
+        outs = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*inputs)
+        if train:
+            z0_t, acc0, az0_t, gw1, gb1, gw2, gb2, geps_t, st = outs
+        else:
+            z0_t, acc0, az0_t, gw1, gb1, gw2, gb2, st = outs
+            geps_t = None
+
+        y0f = jnp.concatenate([z0_t.T.ravel(), acc0.ravel()])
+        a_y0f = jnp.concatenate([az0_t.T.ravel(), aaccT.ravel()])
+        g_ps = (
+            {"w": gw1, "b": gb1.reshape(hidden)},
+            {"w": gw2, "b": gb2.reshape(dz)},
+        )
+        g_args = dict(args)
+        g_args["ps"] = g_ps
+        g_args["ys"] = None
+        if train:
+            g_args["eps"] = geps_t.T.reshape(eps.shape)
+        stats = SolveStats(
+            steps=st[0, 0],
+            accepted=st[0, 1],
+            nfe=st[0, 0] * (tab.num_stages - 1) + nfe_init,
+        )
+        return y0f, a_y0f, g_args, stats
+
+    return FullSolve(
+        forward=full_solve, adjoint=adjoint_solve if adjoint_tile is not None else None
+    )
 
 
-__all__ = ["make_full_solve"]
+__all__ = ["FullSolve", "make_full_solve"]

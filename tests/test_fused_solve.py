@@ -75,6 +75,14 @@ def test_test_forward_parity(setup):
     assert jnp.allclose(lp_f, lp_ref, rtol=1e-4, atol=1e-4)
 
 
+def test_adjoint_kernel_active(setup):
+    """The fused config must route gradients through the adjoint megakernel."""
+    _, icnf_fused, *_ = setup
+    fs = make_full_solve(icnf_fused, Mode.TRAIN, 16)
+    assert fs.adjoint is not None
+    assert make_full_solve(icnf_fused, Mode.TEST, 16).adjoint is not None
+
+
 def test_grad_parity(setup):
     icnf_ref, icnf_fused, ps, xs, eps = setup
     key = jax.random.PRNGKey(4)
@@ -86,6 +94,32 @@ def test_grad_parity(setup):
     g_f = jax.grad(loss_of(icnf_fused))(ps)
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_f)):
         assert jnp.allclose(a, b, rtol=2e-3, atol=2e-4), (a - b)
+
+
+def test_grad_parity_test_mode(setup):
+    """TEST-mode (exact-trace) gradients through the adjoint megakernel."""
+    icnf_ref, icnf_fused, ps, xs, _ = setup
+
+    def loss_of(icnf):
+        return lambda p: cnf.loss(icnf, Mode.TEST, xs, p)
+
+    g_ref = jax.grad(loss_of(icnf_ref))(ps)
+    g_f = jax.grad(loss_of(icnf_fused))(ps)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_f)):
+        assert jnp.allclose(a, b, rtol=2e-3, atol=2e-4), (a - b)
+
+
+def test_grad_wrt_x_parity(setup):
+    """Gradients w.r.t. the data (reference call_tests check these exist)."""
+    icnf_ref, icnf_fused, ps, xs, eps = setup
+    key = jax.random.PRNGKey(8)
+
+    def loss_x(icnf):
+        return lambda x: cnf.loss(icnf, Mode.TRAIN, x, ps, key=key, eps=eps)
+
+    gx_ref = jax.grad(loss_x(icnf_ref))(xs)
+    gx_f = jax.grad(loss_x(icnf_fused))(xs)
+    assert jnp.allclose(gx_ref, gx_f, rtol=2e-3, atol=2e-4)
 
 
 def test_generate_parity(setup):
