@@ -72,25 +72,27 @@ def _safe_col_norm(v: jax.Array) -> jax.Array:
     return jnp.where(pos, jnp.sqrt(jnp.where(pos, sq, 1.0)), 0.0)
 
 
-def _stage_train(zt, epst, w1, b1c, w2, b2c, norm_z: bool, norm_j: bool):
+def _mm(a, b, dims, bf16: bool):
+    """Stage matmul: optionally bf16 inputs (the MXU's native width — f32
+    matmuls are emulated in multiple bf16 passes) with f32 accumulation."""
+    if bf16:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return jax.lax.dot_general(a, b, (dims, ((), ())), preferred_element_type=jnp.float32)
+
+
+def _stage_train(zt, epst, w1, b1c, w2, b2c, norm_z: bool, norm_j: bool, bf16: bool = False):
     """One TRAIN dynamics eval in (rows, B) layout.
 
     zt, epst: (dz, B); w1: (dz, H); b1c: (H, 1); w2: (H, dz); b2c: (dz, 1).
     Returns (k_z (dz, B), k_rates (3, B)) with rate rows [-tr, Edot, ndot].
     """
-    f32 = jnp.float32
-    h = jnp.tanh(
-        jax.lax.dot_general(w1, zt, (((0,), (0,)), ((), ())), preferred_element_type=f32)
-        + b1c
-    )  # (H, B)
-    y = jnp.tanh(
-        jax.lax.dot_general(w2, h, (((0,), (0,)), ((), ())), preferred_element_type=f32)
-        + b2c
-    )  # (dz, B)
+    h = jnp.tanh(_mm(w1, zt, ((0,), (0,)), bf16) + b1c)  # (H, B)
+    y = jnp.tanh(_mm(w2, h, ((0,), (0,)), bf16) + b2c)  # (dz, B)
     g2 = epst * (1.0 - y * y)
-    gh = jax.lax.dot_general(w2, g2, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+    gh = _mm(w2, g2, ((1,), (0,)), bf16)
     g1 = gh * (1.0 - h * h)
-    eJ = jax.lax.dot_general(w1, g1, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+    eJ = _mm(w1, g1, ((1,), (0,)), bf16)
     tr = jnp.sum(eJ * epst, axis=0, keepdims=True)  # (1, B)
     if norm_z:
         e_rate = _safe_col_norm(y)
@@ -104,25 +106,18 @@ def _stage_train(zt, epst, w1, b1c, w2, b2c, norm_z: bool, norm_j: bool):
     return y, rates
 
 
-def _stage_test(zt, w1, b1c, w2, b2c):
+def _stage_test(zt, w1, b1c, w2, b2c, bf16: bool = False):
     """One TEST dynamics eval: closed-form exact divergence, (rows, B) layout.
 
     tr_b = sum_i dy[i,b] * (M @ dh)[i,b]  with  M[i,h] = w1[i,h] * w2[h,i].
     Returns (k_z (dz, B), k_rates (1, B)) with the single rate row -tr.
     """
-    f32 = jnp.float32
-    h = jnp.tanh(
-        jax.lax.dot_general(w1, zt, (((0,), (0,)), ((), ())), preferred_element_type=f32)
-        + b1c
-    )
-    y = jnp.tanh(
-        jax.lax.dot_general(w2, h, (((0,), (0,)), ((), ())), preferred_element_type=f32)
-        + b2c
-    )
+    h = jnp.tanh(_mm(w1, zt, ((0,), (0,)), bf16) + b1c)
+    y = jnp.tanh(_mm(w2, h, ((0,), (0,)), bf16) + b2c)
     dh = 1.0 - h * h  # (H, B)
     dy = 1.0 - y * y  # (dz, B)
     m = w1 * w2.T  # (dz, H)
-    mdh = jax.lax.dot_general(m, dh, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+    mdh = _mm(m, dh, ((1,), (0,)), bf16)
     tr = jnp.sum(dy * mdh, axis=0, keepdims=True)  # (1, B)
     return y, -tr
 
@@ -149,6 +144,7 @@ def _make_solve_kernel(
     atol: float,
     max_steps: int,
     n_elems: int,
+    bf16: bool = False,
 ):
     """Build the kernel body.  All shapes/flags are baked in at trace time."""
     beta1 = 7.0 / (10.0 * tab.order)
@@ -168,8 +164,8 @@ def _make_solve_kernel(
 
         def stage(zt):
             if train:
-                return _stage_train(zt, epst, w1, b1c, w2, b2c, norm_z, norm_j)
-            return _stage_test(zt, w1, b1c, w2, b2c)
+                return _stage_train(zt, epst, w1, b1c, w2, b2c, norm_z, norm_j, bf16)
+            return _stage_test(zt, w1, b1c, w2, b2c, bf16)
 
         f32 = jnp.float32
         t0 = ts_ref[0, 0]
@@ -291,6 +287,7 @@ def _run_solve_kernel(
     rtol: float,
     atol: float,
     max_steps: int,
+    bf16: bool,
     interpret: bool,
     w1,
     b1,
@@ -319,6 +316,7 @@ def _run_solve_kernel(
         atol=atol,
         max_steps=max_steps,
         n_elems=n_elems,
+        bf16=bf16,
     )
 
     ts = jnp.stack(
@@ -367,6 +365,7 @@ def _make_adjoint_kernel(
     atol: float,
     max_steps: int,
     n_elems: int,
+    bf16: bool = False,
 ):
     """Kernel for the continuous-adjoint (backsolve) backward integration.
 
@@ -409,14 +408,14 @@ def _make_adjoint_kernel(
             if train:
                 (kz, kr), vjp = jax.vjp(
                     lambda z_, w1_, b1_, w2_, b2_, e_: _stage_train(
-                        z_, e_, w1_, b1_, w2_, b2_, norm_z, norm_j
+                        z_, e_, w1_, b1_, w2_, b2_, norm_z, norm_j, bf16
                     ),
                     zi, w1, b1c, w2, b2c, epst,
                 )
                 zb, w1b, b1b, w2b, b2b, epsb = vjp((azi, aacc))
                 return kz, kr, -zb, (-w1b, -b1b, -w2b, -b2b), -epsb
             (kz, kr), vjp = jax.vjp(
-                lambda z_, w1_, b1_, w2_, b2_: _stage_test(z_, w1_, b1_, w2_, b2_),
+                lambda z_, w1_, b1_, w2_, b2_: _stage_test(z_, w1_, b1_, w2_, b2_, bf16),
                 zi, w1, b1c, w2, b2c,
             )
             zb, w1b, b1b, w2b, b2b = vjp((azi, aacc))
@@ -648,6 +647,7 @@ def make_full_solve(
     train = mode == Mode.TRAIN
     norm_z = icnf.lam1 != 0.0
     norm_j = icnf.lam2 != 0.0
+    bf16 = cm.bf16
     interpret = jax.default_backend() != "tpu"
     B = batch
 
@@ -710,6 +710,7 @@ def make_full_solve(
             rtol=opts.rtol,
             atol=opts.atol,
             max_steps=opts.max_steps,
+            bf16=bf16,
             interpret=interpret,
             w1=p1["w"],
             b1=p1["b"],
@@ -867,6 +868,7 @@ def make_full_solve(
             atol=opts.atol,
             max_steps=opts.max_steps,
             n_elems=n_elems_adj,
+            bf16=bf16,
         )
         ts = jnp.stack(
             [t_hi, t_lo, jnp.asarray(dt_init, jnp.float32), jnp.asarray(0.0, jnp.float32)]

@@ -70,12 +70,22 @@ class ComputeMode:
       eps_dist:   probe distribution.
       fused:      use the Pallas fused dynamics kernel when the network shape
                   supports it (MLP); falls back to the XLA path otherwise.
+      bf16:       pin the fused kernels' stage matmuls to bfloat16 inputs
+                  (f32 state, controller, and accumulation).  On TPU, JAX's
+                  DEFAULT matmul precision already feeds the MXU single-pass
+                  bf16 for f32 operands, so this is a no-op there unless the
+                  process raises `jax_default_matmul_precision` (e.g. to
+                  "highest") — the flag then keeps the fused path on the fast
+                  MXU mode.  The induced field error (~1e-3 relative) is at
+                  the solver's default rtol.  Only affects the fused (Pallas)
+                  path.
     """
 
     ad: ADMode = ADMode.VJP
     num_probes: int = 1
     eps_dist: EpsDist = EpsDist.GAUSSIAN
     fused: bool = False
+    bf16: bool = False
 
     def __post_init__(self):
         if self.num_probes < 1:

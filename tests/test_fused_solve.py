@@ -144,6 +144,30 @@ def test_lam3_steer_path(setup):
     assert jnp.allclose(regs_f.a, regs_ref.a, rtol=1e-4, atol=1e-4)
 
 
+def test_bf16_stage_matmuls(setup):
+    """bf16 stage matmuls (f32 state/accumulation) track the f32 kernel.
+
+    bf16 has ~3 decimal digits, so the field error is ~1e-3 relative — on
+    the order of the default rtol; parity is checked at loose tolerances and
+    gradients must stay finite.
+    """
+    icnf_ref, _, ps, xs, eps = setup
+    icnf_bf16 = cnf.construct(
+        cnf.RNODE, icnf_ref.nn, 3, 2, compute_mode=cnf.VecJacMode(fused=True, bf16=True)
+    )
+    fs = make_full_solve(icnf_bf16, Mode.TRAIN, 16)
+    assert fs is not None and fs.adjoint is not None
+    key = jax.random.PRNGKey(9)
+    lp_ref, _, _ = cnf.inference(icnf_ref, Mode.TRAIN, xs, ps, key=key, eps=eps)
+    lp_b, _, _ = cnf.inference(icnf_bf16, Mode.TRAIN, xs, ps, key=key, eps=eps)
+    assert jnp.allclose(lp_b, lp_ref, rtol=5e-2, atol=5e-2)
+    lp_ref_t, _, _ = cnf.inference(icnf_ref, Mode.TEST, xs, ps)
+    lp_b_t, _, _ = cnf.inference(icnf_bf16, Mode.TEST, xs, ps)
+    assert jnp.allclose(lp_b_t, lp_ref_t, rtol=5e-2, atol=5e-2)
+    g = jax.grad(lambda p: cnf.loss(icnf_bf16, Mode.TRAIN, xs, p, key=key, eps=eps))(ps)
+    assert all(bool(jnp.all(jnp.isfinite(x))) for x in jax.tree.leaves(g))
+
+
 def test_jit_inside(setup):
     """The megakernel path composes with jit (the trainer always jits)."""
     _, icnf_fused, ps, xs, eps = setup

@@ -1,0 +1,134 @@
+"""Multi-host end-to-end test: 2 real processes forming one global mesh.
+
+The reference is strictly single-process (SURVEY §2.3); this validates the
+from-scratch scale-out: `jax.distributed.initialize` over 2 processes (4
+fake CPU devices each -> 8-device global mesh), per-host shards assembled
+with `global_batch_from_host_shards`, one sharded train step — and the
+resulting loss/params must match a single-process 8-device run of the same
+global batch (the multi-host program is the same GSPMD program).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+_WORKER = r"""
+import os, sys
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+import numpy as np
+import optax
+import continuousnf_tpu as cnf
+from continuousnf_tpu.parallel import (
+    MeshConfig, make_mesh, make_sharded_train_step, shard_params,
+    initialize_distributed, global_batch_from_host_shards,
+)
+
+initialize_distributed(f"localhost:{port}", nproc, pid)
+assert jax.process_count() == nproc, jax.process_count()
+assert jax.device_count() == 4 * nproc, jax.device_count()
+
+mesh = make_mesh(MeshConfig(data=jax.device_count(), probe=1))
+nvars = 2
+icnf = cnf.construct(
+    cnf.RNODE, cnf.MLP((nvars, 6, nvars)), nvars,
+    solver=cnf.SolverOptions(rtol=1e-2, atol=1e-4, max_steps=200),
+)
+X = np.asarray(jax.random.uniform(jax.random.PRNGKey(1), (32, nvars)))
+local = X[pid * 16 : (pid + 1) * 16]
+xs = global_batch_from_host_shards(mesh, local)
+assert xs.shape == (32, nvars), xs.shape
+
+ps = shard_params(mesh, icnf.init(jax.random.PRNGKey(0)))
+opt = optax.lion(1e-3)
+step = make_sharded_train_step(icnf, opt, mesh)
+ps2, _, l = step(ps, opt.init(ps), xs, jax.random.PRNGKey(2))
+chk = float(sum(jax.numpy.sum(jax.numpy.abs(x)) for x in jax.tree.leaves(ps2)))
+print(f"RESULT {pid} {float(l):.8f} {chk:.8f}", flush=True)
+"""
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_matches_single_process(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    port = _free_port()
+    # Strip axon/TPU plugin env: a python parent's sitecustomize exports
+    # PALLAS_AXON_POOL_IPS into os.environ, and a child inheriting it
+    # eagerly registers the axon backend (importing jax at interpreter
+    # startup) — making the worker's own JAX_PLATFORMS=cpu mutation too
+    # late.  Setting the platform in the env keeps the workers CPU-only.
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if "AXON" not in k and k not in ("JAX_PLATFORMS", "XLA_FLAGS")
+    }
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), "2", str(port)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            env=env,
+            text=True,
+            cwd="/root/repo",
+        )
+        for pid in range(2)
+    ]
+    results = {}
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        for line in out.splitlines():
+            if line.startswith("RESULT"):
+                _, pid, l, chk = line.split()
+                results[int(pid)] = (float(l), float(chk))
+    assert set(results) == {0, 1}
+    # Both hosts see the same replicated loss/params.
+    assert results[0] == pytest.approx(results[1], rel=1e-6)
+
+    # Single-process reference on this process's 8 fake devices.
+    import optax
+
+    import continuousnf_tpu as cnf
+    from continuousnf_tpu.parallel import (
+        MeshConfig,
+        make_mesh,
+        make_sharded_train_step,
+        shard_params,
+    )
+
+    mesh = make_mesh(MeshConfig(data=8, probe=1))
+    nvars = 2
+    icnf = cnf.construct(
+        cnf.RNODE,
+        cnf.MLP((nvars, 6, nvars)),
+        nvars,
+        solver=cnf.SolverOptions(rtol=1e-2, atol=1e-4, max_steps=200),
+    )
+    X = np.asarray(jax.random.uniform(jax.random.PRNGKey(1), (32, nvars)))
+    ps = shard_params(mesh, icnf.init(jax.random.PRNGKey(0)))
+    opt = optax.lion(1e-3)
+    step = make_sharded_train_step(icnf, opt, mesh)
+    ps2, _, l = step(ps, opt.init(ps), jnp.asarray(X), jax.random.PRNGKey(2))
+    chk = float(sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(ps2)))
+    assert results[0][0] == pytest.approx(float(l), rel=1e-5, abs=1e-6)
+    assert results[0][1] == pytest.approx(chk, rel=1e-5)
