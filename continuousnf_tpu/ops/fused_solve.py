@@ -21,8 +21,10 @@ while `(dz, B)` packs lanes with batch.  This is, amusingly, exactly the
 reference's d x B state-matrix layout (`/root/reference/src/base_icnf.jl:275-281`).
 
 Dynamics covered:
-  * TRAIN — Hutchinson VJP, K=1 probe, with RNODE regularizer rates
-    (reference `src/icnf.jl:318-350`); state rows [z | dlogp | E | n].
+  * TRAIN — Hutchinson VJP, K >= 1 probes (stacked along the sublane axis;
+    one forward pass + K unrolled backward passes per stage), with RNODE
+    regularizer rates (reference `src/icnf.jl:318-350`, which is K=1 only);
+    state rows [z | dlogp | E | n].
   * TEST  — closed-form exact divergence of the 2-layer tanh MLP
     (see `fused_dynamics.exact_tanh_mlp_trace`); state rows [z | dlogp].
 
@@ -81,26 +83,53 @@ def _mm(a, b, dims, bf16: bool):
     return jax.lax.dot_general(a, b, (dims, ((), ())), preferred_element_type=jnp.float32)
 
 
-def _stage_train(zt, epst, w1, b1c, w2, b2c, norm_z: bool, norm_j: bool, bf16: bool = False):
+def _stage_train(
+    zt,
+    epst,
+    w1,
+    b1c,
+    w2,
+    b2c,
+    norm_z: bool,
+    norm_j: bool,
+    bf16: bool = False,
+    k_probes: int = 1,
+):
     """One TRAIN dynamics eval in (rows, B) layout.
 
-    zt, epst: (dz, B); w1: (dz, H); b1c: (H, 1); w2: (H, dz); b2c: (dz, 1).
+    zt: (dz, B); epst: (K*dz, B) — K Hutchinson probes stacked along the
+    sublane axis (one forward pass, K unrolled backward passes; the trace
+    estimate and ndot average over probes, matching `_hutchinson_field`);
+    w1: (dz, H); b1c: (H, 1); w2: (H, dz); b2c: (dz, 1).
     Returns (k_z (dz, B), k_rates (3, B)) with rate rows [-tr, Edot, ndot].
     """
+    dz = zt.shape[0]
     h = jnp.tanh(_mm(w1, zt, ((0,), (0,)), bf16) + b1c)  # (H, B)
     y = jnp.tanh(_mm(w2, h, ((0,), (0,)), bf16) + b2c)  # (dz, B)
-    g2 = epst * (1.0 - y * y)
-    gh = _mm(w2, g2, ((1,), (0,)), bf16)
-    g1 = gh * (1.0 - h * h)
-    eJ = _mm(w1, g1, ((1,), (0,)), bf16)
-    tr = jnp.sum(eJ * epst, axis=0, keepdims=True)  # (1, B)
+    dy = 1.0 - y * y
+    dh = 1.0 - h * h
+    tr = None
+    n_rate = None
+    for k in range(k_probes):
+        ek = epst[k * dz : (k + 1) * dz] if k_probes > 1 else epst
+        g2 = ek * dy
+        gh = _mm(w2, g2, ((1,), (0,)), bf16)
+        g1 = gh * dh
+        eJ = _mm(w1, g1, ((1,), (0,)), bf16)
+        tr_k = jnp.sum(eJ * ek, axis=0, keepdims=True)  # (1, B)
+        tr = tr_k if tr is None else tr + tr_k
+        if norm_j:
+            n_k = _safe_col_norm(eJ)
+            n_rate = n_k if n_rate is None else n_rate + n_k
+    if k_probes > 1:
+        tr = tr / k_probes
+        if norm_j:
+            n_rate = n_rate / k_probes
     if norm_z:
         e_rate = _safe_col_norm(y)
     else:
         e_rate = jnp.zeros_like(tr)
-    if norm_j:
-        n_rate = _safe_col_norm(eJ)
-    else:
+    if not norm_j:
         n_rate = jnp.zeros_like(tr)
     rates = jnp.concatenate([-tr, e_rate, n_rate], axis=0)  # (3, B)
     return y, rates
@@ -145,6 +174,7 @@ def _make_solve_kernel(
     max_steps: int,
     n_elems: int,
     bf16: bool = False,
+    k_probes: int = 1,
 ):
     """Build the kernel body.  All shapes/flags are baked in at trace time."""
     beta1 = 7.0 / (10.0 * tab.order)
@@ -164,7 +194,9 @@ def _make_solve_kernel(
 
         def stage(zt):
             if train:
-                return _stage_train(zt, epst, w1, b1c, w2, b2c, norm_z, norm_j, bf16)
+                return _stage_train(
+                    zt, epst, w1, b1c, w2, b2c, norm_z, norm_j, bf16, k_probes
+                )
             return _stage_test(zt, w1, b1c, w2, b2c, bf16)
 
         f32 = jnp.float32
@@ -272,9 +304,11 @@ def _make_solve_kernel(
     return kernel
 
 
-def _vmem_estimate(tab: ButcherTableau, dz: int, hidden: int, B: int, nacc: int) -> int:
+def _vmem_estimate(
+    tab: ButcherTableau, dz: int, hidden: int, B: int, nacc: int, k_probes: int = 1
+) -> int:
     """Rough live working-set bound (f32 bytes) for the budget guard."""
-    rows = (tab.num_stages + 4) * (dz + nacc) + 6 * hidden + 2 * dz
+    rows = (tab.num_stages + 4) * (dz + nacc) + 6 * hidden + (1 + k_probes) * dz
     return 4 * B * rows
 
 
@@ -299,13 +333,14 @@ def _run_solve_kernel(
     t1,
     dt_init,
 ):
-    """Launch the megakernel.  z0/eps are (B, dz) batch-major; transposition
-    to the kernel's (rows, B) layout happens here (one cheap relayout per
-    solve)."""
+    """Launch the megakernel.  z0 is (B, dz) batch-major, eps (K, B, dz);
+    transposition to the kernel's (rows, B) layout happens here (one cheap
+    relayout per solve)."""
     B, dz = z0.shape
     H = w1.shape[1]
     nacc = 3 if train else 1
     n_elems = B * (dz + nacc)
+    k_probes = eps.shape[0] if train else 1
 
     kernel = _make_solve_kernel(
         tab,
@@ -317,6 +352,7 @@ def _run_solve_kernel(
         max_steps=max_steps,
         n_elems=n_elems,
         bf16=bf16,
+        k_probes=k_probes,
     )
 
     ts = jnp.stack(
@@ -332,7 +368,8 @@ def _run_solve_kernel(
     inputs = [ts, z0.T]
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM), vspec()]
     if train:
-        inputs.append(eps.T)
+        # (K, B, dz) -> probes stacked along the sublane axis, (K*dz, B).
+        inputs.append(jnp.moveaxis(eps, 2, 1).reshape(k_probes * dz, B))
         in_specs.append(vspec())
     inputs += [w1, b1.reshape(H, 1), w2, b2.reshape(dz, 1)]
     in_specs += [vspec(), vspec(), vspec(), vspec()]
@@ -366,6 +403,7 @@ def _make_adjoint_kernel(
     max_steps: int,
     n_elems: int,
     bf16: bool = False,
+    k_probes: int = 1,
 ):
     """Kernel for the continuous-adjoint (backsolve) backward integration.
 
@@ -408,7 +446,7 @@ def _make_adjoint_kernel(
             if train:
                 (kz, kr), vjp = jax.vjp(
                     lambda z_, w1_, b1_, w2_, b2_, e_: _stage_train(
-                        z_, e_, w1_, b1_, w2_, b2_, norm_z, norm_j, bf16
+                        z_, e_, w1_, b1_, w2_, b2_, norm_z, norm_j, bf16, k_probes
                     ),
                     zi, w1, b1c, w2, b2c, epst,
                 )
@@ -634,14 +672,15 @@ def make_full_solve(
     if mode == Mode.TRAIN:
         from ..types import ADMode
 
-        if cm.ad != ADMode.VJP or cm.num_probes != 1:
+        if cm.ad != ADMode.VJP:
             return None
     if icnf.dtype != jnp.float32:
         return None
     dz = icnf.zdim
     hidden = icnf.nn.layers[0].out_dim
     nacc = 3 if mode == Mode.TRAIN else 1
-    if _vmem_estimate(tab, dz, hidden, batch, nacc) > _VMEM_BUDGET_BYTES:
+    K = cm.num_probes if mode == Mode.TRAIN else 1
+    if _vmem_estimate(tab, dz, hidden, batch, nacc, K) > _VMEM_BUDGET_BYTES:
         return None
 
     train = mode == Mode.TRAIN
@@ -659,9 +698,17 @@ def make_full_solve(
         z = yf[: B * dz].reshape(B, dz)
         (p1, p2) = ps
         if train:
-            y, tr, e_rate, n_rate = _reference_impl(
-                p1["w"], p1["b"], p2["w"], p2["b"], z, eps[0]
-            )
+            # K-probe field: tr and ndot average over probes (the mean the
+            # kernel stage and `_hutchinson_field` both compute).
+            trs, nrs = [], []
+            for k in range(K):
+                y, tr_k, e_rate, n_k = _reference_impl(
+                    p1["w"], p1["b"], p2["w"], p2["b"], z, eps[k]
+                )
+                trs.append(tr_k)
+                nrs.append(n_k)
+            tr = sum(trs) / K
+            n_rate = sum(nrs) / K
             rates = [
                 -tr,
                 e_rate if norm_z else jnp.zeros_like(tr),
@@ -717,7 +764,7 @@ def make_full_solve(
             w2=p2["w"],
             b2=p2["b"],
             z0=z0,
-            eps=eps[0] if train else None,
+            eps=eps if train else None,
             t0=t0,
             t1=t1,
             dt_init=dt_init,
@@ -735,9 +782,10 @@ def make_full_solve(
 
     def _adjoint_tile_bytes(tile_b: int) -> int:
         # ~2.5x the forward working set (z and a_z stage registers, the vjp
-        # residuals of every unrolled stage, plus the probe-grad accumulator).
+        # residuals of every unrolled stage, plus the probe-grad accumulator;
+        # probes/probe-grads/eJ residuals scale with K).
         return 4 * tile_b * (
-            2 * (tab.num_stages + 4) * (dz + nacc) + 8 * hidden + 8 * dz
+            2 * (tab.num_stages + 4) * (dz + nacc) + 8 * hidden + (4 + 4 * K) * dz
         )
 
     # Pick the largest divisor-of-B tile that fits the VMEM budget; each tile
@@ -750,7 +798,8 @@ def make_full_solve(
 
     def _plain_field_bm(ps, z, eps_b):
         """Batch-major plain-XLA field (safe norms) — only for the Hairer
-        initial-dt pick of the backward solve (2 evals/solve)."""
+        initial-dt pick of the backward solve (2 evals/solve).  `eps_b` is
+        the full probe stack (K, B, dz); tr/ndot average over probes."""
         (p1, p2) = ps
         w1, b1, w2, b2 = p1["w"], p1["b"], p2["w"], p2["b"]
         h = jnp.tanh(z @ w1 + b1)
@@ -762,13 +811,13 @@ def make_full_solve(
             return jnp.where(pos, jnp.sqrt(jnp.where(pos, sq, 1.0)), 0.0)
 
         if train:
-            g2 = eps_b * (1.0 - y * y)
+            g2 = eps_b * (1.0 - y * y)  # (K, B, dz)
             gh = g2 @ w2.T
             g1 = gh * (1.0 - h * h)
             eJ = g1 @ w1.T
-            tr = jnp.sum(eJ * eps_b, axis=-1)
+            tr = jnp.mean(jnp.sum(eJ * eps_b, axis=-1), axis=0)  # (B,)
             e_rate = safe_bm(y) if norm_z else jnp.zeros_like(tr)
-            n_rate = safe_bm(eJ) if norm_j else jnp.zeros_like(tr)
+            n_rate = jnp.mean(safe_bm(eJ), axis=0) if norm_j else jnp.zeros_like(tr)
             rates = jnp.stack([-tr, e_rate, n_rate], axis=-1)  # (B, 3)
         else:
             dh = 1.0 - h * h
@@ -790,7 +839,7 @@ def make_full_solve(
 
         ps = args["ps"]
         eps = args.get("eps")
-        eps_b = eps[0] if train else None
+        eps_b = eps if train else None  # full probe stack (K, B, dz)
         (p1, p2) = ps
 
         zT = yTf[: B * dz].reshape(B, dz)
@@ -858,7 +907,7 @@ def make_full_solve(
 
         TILE = adjoint_tile
         n_tiles = B // TILE
-        n_elems_adj = 2 * TILE * (dz + nacc) + P_total + (TILE * dz if train else 0)
+        n_elems_adj = 2 * TILE * (dz + nacc) + P_total + (K * TILE * dz if train else 0)
         kernel = _make_adjoint_kernel(
             tab,
             train=train,
@@ -869,6 +918,7 @@ def make_full_solve(
             max_steps=opts.max_steps,
             n_elems=n_elems_adj,
             bf16=bf16,
+            k_probes=K,
         )
         ts = jnp.stack(
             [t_hi, t_lo, jnp.asarray(dt_init, jnp.float32), jnp.asarray(0.0, jnp.float32)]
@@ -889,8 +939,9 @@ def make_full_solve(
             btile(nacc),
         ]
         if train:
-            inputs.append(eps_b.T)
-            in_specs.append(btile(dz))
+            # (K, B, dz) -> (K*dz, B): probes stacked along the sublane axis.
+            inputs.append(jnp.moveaxis(eps_b, 2, 1).reshape(K * dz, B))
+            in_specs.append(btile(K * dz))
         inputs += [p1["w"], p1["b"].reshape(hidden, 1), p2["w"], p2["b"].reshape(dz, 1)]
         in_specs += [wfull((dz, hidden)), wfull((hidden, 1)), wfull((hidden, dz)), wfull((dz, 1))]
 
@@ -913,8 +964,8 @@ def make_full_solve(
             wfull((dz, 1)),
         ]
         if train:
-            out_shape.append(jax.ShapeDtypeStruct((dz, B), jnp.float32))  # g_eps
-            out_specs.append(btile(dz))
+            out_shape.append(jax.ShapeDtypeStruct((K * dz, B), jnp.float32))  # g_eps
+            out_specs.append(btile(K * dz))
         out_shape.append(jax.ShapeDtypeStruct((1, 2), jnp.int32))
         out_specs.append(pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM))
 
@@ -942,7 +993,8 @@ def make_full_solve(
         g_args["ps"] = g_ps
         g_args["ys"] = None
         if train:
-            g_args["eps"] = geps_t.T.reshape(eps.shape)
+            # (K*dz, B) -> (K, dz, B) -> (K, B, dz)
+            g_args["eps"] = jnp.moveaxis(geps_t.reshape(K, dz, B), 2, 1)
         stats = SolveStats(
             steps=st[0, 0],
             accepted=st[0, 1],

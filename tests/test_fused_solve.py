@@ -45,13 +45,17 @@ def test_eligibility(setup):
     assert make_full_solve(icnf_ref, Mode.TRAIN, 16) is None  # fused flag off
     assert make_full_solve(icnf_fused, Mode.TRAIN, 16) is not None
     assert make_full_solve(icnf_fused, Mode.TEST, 16) is not None
-    # K>1 probes: TRAIN kernel does not apply, TEST still does.
+    # K>1 probes: both TRAIN (K-probe kernel) and TEST apply; JVP does not.
     icnf_k2 = _make(True)
     icnf_k2 = cnf.construct(
         cnf.RNODE, icnf_k2.nn, 3, 2, compute_mode=cnf.VecJacMode(num_probes=2, fused=True)
     )
-    assert make_full_solve(icnf_k2, Mode.TRAIN, 16) is None
+    assert make_full_solve(icnf_k2, Mode.TRAIN, 16) is not None
     assert make_full_solve(icnf_k2, Mode.TEST, 16) is not None
+    icnf_jvp = cnf.construct(
+        cnf.RNODE, icnf_k2.nn, 3, 2, compute_mode=cnf.JacVecMode(fused=True)
+    )
+    assert make_full_solve(icnf_jvp, Mode.TRAIN, 16) is None
 
 
 def test_train_forward_parity(setup):
@@ -142,6 +146,57 @@ def test_lam3_steer_path(setup):
     lp_f, regs_f, _ = cnf.inference(icnf_fused, Mode.TRAIN, xs, ps, key=key, eps=eps)
     assert jnp.allclose(lp_f, lp_ref, rtol=1e-4, atol=1e-4)
     assert jnp.allclose(regs_f.a, regs_ref.a, rtol=1e-4, atol=1e-4)
+
+
+def test_k_probe_parity(setup):
+    """K=3 Hutchinson probes through the megakernel match the XLA path:
+    same controller decisions, same logp/regularizers, consistent grads."""
+    icnf_ref0, _, ps, xs, _ = setup
+    mk = lambda fused: cnf.construct(
+        cnf.RNODE, icnf_ref0.nn, 3, 2,
+        compute_mode=cnf.VecJacMode(num_probes=3, fused=fused),
+    )
+    icnf_ref, icnf_fused = mk(False), mk(True)
+    assert make_full_solve(icnf_fused, Mode.TRAIN, 16) is not None
+    eps = jax.random.normal(jax.random.PRNGKey(11), (3, 16, icnf_ref.zdim), jnp.float32)
+    key = jax.random.PRNGKey(12)
+    lp_ref, regs_ref, st_ref = cnf.inference(icnf_ref, Mode.TRAIN, xs, ps, key=key, eps=eps)
+    lp_f, regs_f, st_f = cnf.inference(icnf_fused, Mode.TRAIN, xs, ps, key=key, eps=eps)
+    # K>1 sums more reassociated terms into the error norm, so a borderline
+    # controller decision may flip; values must still agree tightly.
+    assert abs(int(st_f.steps) - int(st_ref.steps)) <= 1
+    assert jnp.allclose(lp_f, lp_ref, rtol=1e-4, atol=1e-4)
+    assert jnp.allclose(regs_f.e, regs_ref.e, rtol=1e-4, atol=1e-4)
+    assert jnp.allclose(regs_f.n, regs_ref.n, rtol=1e-4, atol=1e-4)
+
+    g_ref = jax.grad(lambda p: cnf.loss(icnf_ref, Mode.TRAIN, xs, p, key=key, eps=eps))(ps)
+    g_f = jax.grad(lambda p: cnf.loss(icnf_fused, Mode.TRAIN, xs, p, key=key, eps=eps))(ps)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_f)):
+        assert jnp.allclose(a, b, rtol=2e-3, atol=2e-4), (a - b)
+
+
+def test_k_probe_variance_reduction(setup):
+    """More probes -> lower variance of the trace estimate: the K=4 TRAIN
+    logp should sit closer to the exact (TEST-dynamics) logp than K=1 on
+    average (fixed comparison seed; both through the megakernel)."""
+    icnf_ref0, _, ps, xs, _ = setup
+    lp_exact, _, _ = cnf.inference(
+        cnf.construct(cnf.RNODE, icnf_ref0.nn, 3, 2,
+                      compute_mode=cnf.VecJacMode(fused=True)),
+        Mode.TEST, xs, ps,
+    )
+
+    def train_lp(k_probes, seed):
+        icnf = cnf.construct(
+            cnf.RNODE, icnf_ref0.nn, 3, 2,
+            compute_mode=cnf.VecJacMode(num_probes=k_probes, fused=True),
+        )
+        lp, _, _ = cnf.inference(icnf, Mode.TRAIN, xs, ps, key=jax.random.PRNGKey(seed))
+        return lp
+
+    err1 = jnp.mean(jnp.abs(train_lp(1, 21) - lp_exact))
+    err4 = jnp.mean(jnp.abs(train_lp(4, 21) - lp_exact))
+    assert float(err4) < float(err1)
 
 
 def test_bf16_stage_matmuls(setup):
