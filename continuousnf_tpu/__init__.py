@@ -49,6 +49,7 @@ from .train import (
     CondICNFModel,
     FitResult,
     fit,
+    fitted_params,
     transform,
     save_checkpoint,
     load_checkpoint,
@@ -105,6 +106,7 @@ __all__ = [
     "CondICNFModel",
     "FitResult",
     "fit",
+    "fitted_params",
     "transform",
     "save_checkpoint",
     "load_checkpoint",

@@ -64,4 +64,50 @@ def synthetic_tabular(key: jax.Array, n: int, d: int) -> jax.Array:
     return x.astype(jnp.float32)
 
 
-__all__ = ["beta_data", "two_moons", "circles", "gaussian_mixture", "synthetic_tabular"]
+def table_to_matrix(X, dtype=jnp.float32):
+    """Coerce a tabular input to an (n, d) matrix (MLJ-frontend parity).
+
+    The reference's MLJ frontend accepts any Tables.jl table and does
+    `matrix(X) |> transpose` (`/root/reference/src/exts/mlj_ext/core_icnf.jl:31`).
+    Accepted here: pandas DataFrame/Series, a dict/mapping of column-name ->
+    column, or any array-like (rows = samples).  Returns (matrix, column_names)
+    where column_names is None for plain arrays.
+    """
+    # pandas without a hard dependency: duck-type on to_numpy + columns.
+    if hasattr(X, "to_numpy") and hasattr(X, "columns"):
+        import numpy as np
+
+        return jnp.asarray(X.to_numpy(dtype=np.float64), dtype), [str(c) for c in X.columns]
+    if hasattr(X, "to_numpy") and X.__class__.__name__ == "Series":
+        return jnp.asarray(X.to_numpy(), dtype)[:, None], [getattr(X, "name", None) or "x"]
+    if isinstance(X, dict):
+        names = list(X.keys())
+        cols = [jnp.asarray(X[k], dtype).reshape(-1) for k in names]
+        return jnp.stack(cols, axis=1), names
+    return jnp.asarray(X, dtype), None
+
+
+def matrix_to_table(px, *, column: str = "px"):
+    """Wrap a result vector as a table: pandas DataFrame when pandas is
+    importable, else a plain {column: numpy array} dict (the reference's
+    `transform` returns `DataFrame(px = exp.(logp))`, `core_icnf.jl:121`)."""
+    import numpy as np
+
+    col = np.asarray(px)
+    try:
+        import pandas as pd
+
+        return pd.DataFrame({column: col})
+    except Exception:
+        return {column: col}
+
+
+__all__ = [
+    "beta_data",
+    "two_moons",
+    "circles",
+    "gaussian_mixture",
+    "synthetic_tabular",
+    "table_to_matrix",
+    "matrix_to_table",
+]

@@ -1,6 +1,6 @@
 """Training API: fit/transform model wrappers, data loading, checkpointing."""
 
-from .fit import ICNFModel, CondICNFModel, FitResult, fit, transform
+from .fit import ICNFModel, CondICNFModel, FitResult, fit, fitted_params, transform
 from .checkpoint import save_checkpoint, load_checkpoint
 
 __all__ = [
@@ -8,6 +8,7 @@ __all__ = [
     "CondICNFModel",
     "FitResult",
     "fit",
+    "fitted_params",
     "transform",
     "save_checkpoint",
     "load_checkpoint",

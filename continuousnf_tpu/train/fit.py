@@ -171,14 +171,16 @@ def fit(
     both are set); returning True stops training early — used e.g. by the
     augmented-slice normalization monitor (recipes.py).
     """
+    from ..data import table_to_matrix
+
     icnf = model.icnf
-    xs = jnp.asarray(X, icnf.dtype)
+    xs, _ = table_to_matrix(X, icnf.dtype)
     if xs.ndim != 2 or xs.shape[1] != icnf.nvars:
         raise ValueError(f"X must be (n, nvars={icnf.nvars}), got {xs.shape}")
     has_cond = icnf.cond
     if has_cond and Y is None:
         raise ValueError("conditional model requires Y")
-    ys = jnp.asarray(Y, icnf.dtype) if has_cond else jnp.zeros((xs.shape[0], 0), icnf.dtype)
+    ys = table_to_matrix(Y, icnf.dtype)[0] if has_cond else jnp.zeros((xs.shape[0], 0), icnf.dtype)
     n = xs.shape[0]
 
     init_key, train_key = jax.random.split(key)
@@ -234,16 +236,29 @@ def fit(
     return FitResult(icnf=icnf, ps=ps, losses=losses, wall_time_s=wall, epochs=epoch_i)
 
 
-def transform(result: FitResult, X: Any, Y: Any = None, *, batch_size: int = 0) -> jax.Array:
+def fitted_params(result: FitResult):
+    """(learned_parameters, states) — parity with the reference's
+    `fitted_params` (`/root/reference/src/exts/mlj_ext/core.jl:1-4`); states
+    are an empty dict in our stateless functional nets."""
+    return result.ps, {}
+
+
+def transform(
+    result: FitResult, X: Any, Y: Any = None, *, batch_size: int = 0, as_table: bool = False
+):
     """TestMode density scoring: px = exp(logpx) (reference `transform`,
     `core_icnf.jl:94-122`, which returns `DataFrame(px = exp.(logp))`).
 
     `batch_size > 0` evaluates in fixed-size chunks (one compiled executable,
     zero-padding on the tail) — for datasets too large for one device call.
+    `as_table=True` returns the reference-shaped table (pandas DataFrame with
+    a `px` column when pandas is available, else {"px": array}).
     """
+    from ..data import matrix_to_table, table_to_matrix
+
     icnf = result.icnf
-    xs = jnp.asarray(X, icnf.dtype)
-    ys = jnp.asarray(Y, icnf.dtype) if Y is not None else None
+    xs, _ = table_to_matrix(X, icnf.dtype)
+    ys = table_to_matrix(Y, icnf.dtype)[0] if Y is not None else None
     if batch_size and xs.shape[0] > batch_size:
         n = xs.shape[0]
         n_chunks, pad = _pad_count(n, batch_size)
@@ -263,7 +278,8 @@ def transform(result: FitResult, X: Any, Y: Any = None, *, batch_size: int = 0) 
         logpx = jnp.concatenate(parts)[:n]
     else:
         logpx, _, _ = inference(icnf, Mode.TEST, xs, result.ps, ys=ys)
-    return jnp.exp(logpx)
+    px = jnp.exp(logpx)
+    return matrix_to_table(px) if as_table else px
 
 
-__all__ = ["ICNFModel", "CondICNFModel", "FitResult", "fit", "transform"]
+__all__ = ["ICNFModel", "CondICNFModel", "FitResult", "fit", "fitted_params", "transform"]

@@ -62,3 +62,42 @@ def test_roofline_accounting():
     rep = roofline_report(measured_s=10e-6, B=4096, dz=16, H=48)
     assert 0 < rep["utilization"] < 1.5
     assert rep["bound"] in ("bandwidth", "compute")
+
+
+def test_table_frontend_roundtrip():
+    """MLJ-frontend parity: dict / DataFrame inputs and the px-table output."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import continuousnf_tpu as cnf
+    from continuousnf_tpu.data import matrix_to_table, table_to_matrix
+
+    rows = np.random.default_rng(0).uniform(0.1, 0.9, size=(16, 2)).astype(np.float32)
+    m, names = table_to_matrix({"a": rows[:, 0], "b": rows[:, 1]})
+    assert m.shape == (16, 2) and names == ["a", "b"]
+    np.testing.assert_allclose(np.asarray(m), rows, rtol=1e-6)
+
+    try:
+        import pandas as pd
+    except Exception:
+        pd = None
+    if pd is not None:
+        m2, names2 = table_to_matrix(pd.DataFrame(rows, columns=["a", "b"]))
+        assert names2 == ["a", "b"]
+        np.testing.assert_allclose(np.asarray(m2), rows, rtol=1e-6)
+
+    nn = cnf.MLP((2, 8, 2))
+    icnf = cnf.construct(cnf.RNODE, nn, 2, 0, tspan=(0.0, 1.0))
+    model = cnf.ICNFModel(icnf, n_epochs=1, batch_size=8)
+    res = cnf.fit(model, {"a": rows[:, 0], "b": rows[:, 1]}, key=jax.random.PRNGKey(0))
+    ps, st = cnf.fitted_params(res)
+    assert st == {} and ps is res.ps
+
+    tbl = cnf.transform(res, rows[:4], as_table=True)
+    if pd is not None:
+        assert list(tbl.columns) == ["px"] and len(tbl) == 4
+        px = tbl["px"].to_numpy()
+    else:
+        px = tbl["px"]
+    assert np.isfinite(px).all() and (px > 0).all()
