@@ -7,10 +7,15 @@ Run: python examples/readme_example.py [--epochs N] [--cpu]
 """
 
 import argparse
+import os
+import sys
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Importable regardless of cwd (the package lives next to examples/).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
