@@ -73,11 +73,11 @@ def table_to_matrix(X, dtype=jnp.float32):
     column, or any array-like (rows = samples).  Returns (matrix, column_names)
     where column_names is None for plain arrays.
     """
-    # pandas without a hard dependency: duck-type on to_numpy + columns.
+    # pandas/polars without a hard dependency: duck-type on to_numpy+columns.
+    # No dtype kwarg — polars' to_numpy doesn't accept one; the outer
+    # jnp.asarray performs the cast either way.
     if hasattr(X, "to_numpy") and hasattr(X, "columns"):
-        import numpy as np
-
-        return jnp.asarray(X.to_numpy(dtype=np.float64), dtype), [str(c) for c in X.columns]
+        return jnp.asarray(X.to_numpy(), dtype), [str(c) for c in X.columns]
     if hasattr(X, "to_numpy") and X.__class__.__name__ == "Series":
         return jnp.asarray(X.to_numpy(), dtype)[:, None], [getattr(X, "name", None) or "x"]
     if isinstance(X, dict):

@@ -32,6 +32,13 @@ class ICNFDist:
     mode: Mode
     ps: Any
 
+    @classmethod
+    def from_fit(cls, result, mode: Mode = Mode.TEST) -> "ICNFDist":
+        """Build from a `FitResult` — parity with the reference's
+        `ICNFDist(mach, TestMode())` constructor from a fitted MLJ machine
+        (`/root/reference/src/exts/dist_ext/core_icnf.jl:8-11`)."""
+        return cls(icnf=result.icnf, mode=mode, ps=result.ps)
+
     def __len__(self) -> int:
         return self.icnf.nvars
 

@@ -70,6 +70,11 @@ class FitResult:
     losses: np.ndarray  # per-epoch mean training loss
     wall_time_s: float
     epochs: int
+    # Column names seen at fit time for named-table inputs (None for plain
+    # arrays); transform validates/reorders named inputs against these so a
+    # reordered DataFrame scores the same densities.
+    column_names: Optional[list] = None
+    cond_column_names: Optional[list] = None
 
 
 def _pad_count(n: int, batch_size: int) -> Tuple[int, int]:
@@ -174,13 +179,17 @@ def fit(
     from ..data import table_to_matrix
 
     icnf = model.icnf
-    xs, _ = table_to_matrix(X, icnf.dtype)
+    xs, col_names = table_to_matrix(X, icnf.dtype)
     if xs.ndim != 2 or xs.shape[1] != icnf.nvars:
         raise ValueError(f"X must be (n, nvars={icnf.nvars}), got {xs.shape}")
     has_cond = icnf.cond
     if has_cond and Y is None:
         raise ValueError("conditional model requires Y")
-    ys = table_to_matrix(Y, icnf.dtype)[0] if has_cond else jnp.zeros((xs.shape[0], 0), icnf.dtype)
+    cond_names = None
+    if has_cond:
+        ys, cond_names = table_to_matrix(Y, icnf.dtype)
+    else:
+        ys = jnp.zeros((xs.shape[0], 0), icnf.dtype)
     n = xs.shape[0]
 
     init_key, train_key = jax.random.split(key)
@@ -233,7 +242,10 @@ def fit(
     wall = time.perf_counter() - t_start
     if verbosity:
         print(f"[fit] {epoch_i} epochs in {wall:.1f}s; final loss {losses[-1]:.4f}")
-    return FitResult(icnf=icnf, ps=ps, losses=losses, wall_time_s=wall, epochs=epoch_i)
+    return FitResult(
+        icnf=icnf, ps=ps, losses=losses, wall_time_s=wall, epochs=epoch_i,
+        column_names=col_names, cond_column_names=cond_names,
+    )
 
 
 def fitted_params(result: FitResult):
@@ -243,22 +255,45 @@ def fitted_params(result: FitResult):
     return result.ps, {}
 
 
+def _align_columns(mat, names, fitted_names, what: str):
+    """Reorder a named table's columns to the fit-time order (and error on a
+    column-set mismatch).  Plain arrays (names=None) pass through: column
+    order is their only contract, as in the reference's MLJ frontend."""
+    if names is None or fitted_names is None or names == fitted_names:
+        return mat
+    if sorted(names) != sorted(fitted_names):
+        raise ValueError(
+            f"{what} columns {names} do not match the columns seen at fit "
+            f"time {fitted_names}"
+        )
+    order = [names.index(c) for c in fitted_names]
+    return mat[:, jnp.asarray(order)]
+
+
 def transform(
-    result: FitResult, X: Any, Y: Any = None, *, batch_size: int = 0, as_table: bool = False
+    result: FitResult, X: Any, Y: Any = None, *, batch_size: int = 0,
+    as_table: Optional[bool] = None,
 ):
     """TestMode density scoring: px = exp(logpx) (reference `transform`,
     `core_icnf.jl:94-122`, which returns `DataFrame(px = exp.(logp))`).
 
     `batch_size > 0` evaluates in fixed-size chunks (one compiled executable,
     zero-padding on the tail) — for datasets too large for one device call.
-    `as_table=True` returns the reference-shaped table (pandas DataFrame with
-    a `px` column when pandas is available, else {"px": array}).
+    The return shape mirrors the input (reference parity): tabular inputs
+    (DataFrame/dict) get the reference-shaped px table back, array inputs get
+    a plain px array.  Force one or the other with `as_table=True/False`.
     """
     from ..data import matrix_to_table, table_to_matrix
 
     icnf = result.icnf
-    xs, _ = table_to_matrix(X, icnf.dtype)
-    ys = table_to_matrix(Y, icnf.dtype)[0] if Y is not None else None
+    xs, x_names = table_to_matrix(X, icnf.dtype)
+    if as_table is None:
+        as_table = x_names is not None
+    xs = _align_columns(xs, x_names, result.column_names, "X")
+    ys = None
+    if Y is not None:
+        ys, y_names = table_to_matrix(Y, icnf.dtype)
+        ys = _align_columns(ys, y_names, result.cond_column_names, "Y")
     if batch_size and xs.shape[0] > batch_size:
         n = xs.shape[0]
         n_chunks, pad = _pad_count(n, batch_size)

@@ -101,3 +101,50 @@ def test_table_frontend_roundtrip():
     else:
         px = tbl["px"]
     assert np.isfinite(px).all() and (px > 0).all()
+
+
+def test_named_table_column_reorder_and_default_table_output():
+    """A named table scored with reordered columns must give the same px as
+    the fit-time order, and tabular inputs get a table back by default."""
+    import jax
+    import numpy as np
+
+    import continuousnf_tpu as cnf
+
+    rows = np.random.default_rng(1).uniform(0.1, 0.9, size=(12, 2)).astype(np.float32)
+    tbl = {"a": rows[:, 0], "b": rows[:, 1]}
+    nn = cnf.MLP((2, 8, 2))
+    icnf = cnf.construct(cnf.RNODE, nn, 2, 0, tspan=(0.0, 1.0))
+    model = cnf.ICNFModel(icnf, n_epochs=1, batch_size=8)
+    res = cnf.fit(model, tbl, key=jax.random.PRNGKey(0))
+    assert res.column_names == ["a", "b"]
+
+    out = cnf.transform(res, tbl)  # named input -> table output by default
+    px = out["px"].to_numpy() if hasattr(out, "to_numpy") else np.asarray(out["px"])
+    out_swapped = cnf.transform(res, {"b": rows[:, 1], "a": rows[:, 0]}, as_table=False)
+    np.testing.assert_allclose(np.asarray(out_swapped), px, rtol=1e-5)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="columns"):
+        cnf.transform(res, {"a": rows[:, 0], "c": rows[:, 1]})
+
+    # Array inputs keep returning a plain array.
+    arr = cnf.transform(res, rows)
+    assert not isinstance(arr, dict) and np.asarray(arr).shape == (12,)
+
+
+def test_icnfdist_from_fit():
+    import jax
+    import numpy as np
+
+    import continuousnf_tpu as cnf
+
+    rows = np.random.default_rng(2).uniform(0.1, 0.9, size=(8, 1)).astype(np.float32)
+    icnf = cnf.construct(cnf.RNODE, cnf.MLP((1, 4, 1)), 1, 0, tspan=(0.0, 1.0))
+    model = cnf.ICNFModel(icnf, n_epochs=1, batch_size=8)
+    res = cnf.fit(model, rows, key=jax.random.PRNGKey(0))
+    d = cnf.ICNFDist.from_fit(res)
+    np.testing.assert_allclose(
+        np.asarray(d.pdf(rows)), np.asarray(cnf.transform(res, rows)), rtol=1e-6
+    )

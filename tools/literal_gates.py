@@ -1,0 +1,160 @@
+"""Faithful replication of the reference's literal density gates.
+
+Two configs, hyperparameters matched to the reference exactly (no passive
+augmentation, no checkpoint selection, no grid normalization):
+
+* ``readme``  — `/root/reference/README.md:38-70`: RNODE nvars=1 naug=1,
+  Chain(Dense(2=>6,tanh), Dense(6=>2,tanh)), tspan=(0,13), steer_rate=0.1,
+  lambda1=lambda2=lambda3=1e-2, solver reltol=sqrt(eps(f32)) abstol=eps(f32),
+  Lion(1e-3, (0.9, 0.99)), 300 epochs, batch 32, n=1024 Beta(2,4) samples.
+  Gate: est = p_hat(x, aug=0) vs actual = Beta pdf(x), mad/msd/tv <= 0.1
+  (`README.md:100-108`).
+
+* ``flagship`` — `/root/reference/test/regression_tests.jl:1-49`: RNODE
+  nvars=8 naug=8, Chain(Dense(16=>48,tanh), Dense(48=>16,tanh)), tspan=(0,13),
+  steer_rate=0.1, lambda3=1e-2 (lambda1=lambda2=1e-2 RNODE defaults), solver
+  at OrdinaryDiffEq defaults (reltol=1e-3, abstol=1e-6 — the test passes no
+  sol_kwargs), same optimizer/epochs/batch.  Gate: est = joint model density
+  p_hat(x, aug=0) vs actual = prod_i Beta pdf(x_i) — both length-n vectors
+  (the well-posed form of the reference's comparison at
+  `regression_tests.jl:39-44`, whose raw shapes are 1024 vs 8x1024).
+
+Usage:  python tools/literal_gates.py --config readme --seed 1 [--epochs 300]
+Emits one JSON line per evaluation epoch plus a final summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from continuousnf_tpu.core.icnf import RNODE, construct, inference
+from continuousnf_tpu.distributions import Beta
+from continuousnf_tpu.nets import MLP
+from continuousnf_tpu.train.fit import ICNFModel, fit
+from continuousnf_tpu.types import Mode, README_TOLERANCES, SolverOptions
+
+
+def gate_metrics(est: np.ndarray, actual: np.ndarray) -> dict:
+    """The reference's Distances triple (`test/regression_tests.jl:42-44`):
+    meanad, msd, totalvariation/n."""
+    diff = est - actual
+    return {
+        "mad": float(np.mean(np.abs(diff))),
+        "msd": float(np.mean(diff**2)),
+        "tv": float(np.sum(np.abs(diff)) / 2.0 / len(est)),
+    }
+
+
+def build(config: str, seed: int, epochs: int, lr: float, batch_size: int,
+          adjoint: str = "backsolve"):
+    import dataclasses as dc
+
+    from continuousnf_tpu.types import Adjoint
+
+    key = jax.random.PRNGKey(seed)
+    data_key, fit_key = jax.random.split(key)
+    dist = Beta(2.0, 4.0)
+    n = 1024
+    if config == "readme":
+        nvars, naug = 1, 1
+        nn = MLP((2, 6, 2))
+        solver = SolverOptions(**README_TOLERANCES)
+    elif config == "flagship":
+        nvars, naug = 8, 8
+        nn = MLP((16, 48, 16))
+        solver = SolverOptions()  # OrdinaryDiffEq defaults: rtol 1e-3, atol 1e-6
+    else:
+        raise ValueError(config)
+    solver = dc.replace(solver, adjoint=Adjoint[adjoint.upper()])
+    r = dist.sample(data_key, (n, nvars))
+    icnf = construct(
+        RNODE, nn, nvars, naug,
+        tspan=(0.0, 13.0), steer_rate=0.1, lam3=1e-2, solver=solver,
+    )
+    opt = optax.lion(lr, b1=0.9, b2=0.99)
+    model = ICNFModel(icnf, optimizers=(opt,), n_epochs=epochs, batch_size=batch_size)
+    actual = np.asarray(jnp.prod(dist.pdf(r), axis=1))
+    return icnf, model, r, actual, fit_key, dist
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", choices=("readme", "flagship"), required=True)
+    ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--epochs", type=int, default=300)
+    ap.add_argument("--lr", type=float, default=1e-3)  # Optimisers.Lion default eta
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--eval-every", type=int, default=10)
+    ap.add_argument("--adjoint", default="backsolve", choices=("backsolve", "direct"))
+    args = ap.parse_args()
+
+    icnf, model, r, actual, fit_key, dist = build(
+        args.config, args.seed, args.epochs, args.lr, args.batch_size, args.adjoint
+    )
+
+    score = jax.jit(lambda ps, xs: inference(icnf, Mode.TEST, xs, ps)[0])
+
+    # Slice-mass monitor: Z = integral of p_hat(x, 0) dx.  1-D uses a
+    # trapezoid grid; 8-D uses importance sampling with fresh Beta draws
+    # (Z ~= E_beta[p_hat/actual]).  Z==1 iff the slice estimate is calibrated;
+    # mad_shape is the gate metric after dividing out Z (pure shape error).
+    if args.config == "readme":
+        grid = jnp.linspace(1e-4, 1.0 - 1e-4, 513)[:, None]
+        grid_p = None
+    else:
+        zkey = jax.random.PRNGKey(10_000 + args.seed)
+        grid = dist.sample(zkey, (4096, icnf.nvars))
+        grid_p = np.asarray(jnp.prod(dist.pdf(grid), axis=1))
+
+    def slice_mass(ps) -> float:
+        lp = score(ps, grid)
+        if grid_p is None:
+            return float(jnp.trapezoid(jnp.exp(lp), grid[:, 0]))
+        return float(np.mean(np.exp(np.asarray(lp)) / grid_p))
+
+    history = []
+
+    def evaluate(epoch, ps):
+        est = np.asarray(jnp.exp(score(ps, r)))
+        m = gate_metrics(est, actual)
+        z = slice_mass(ps)
+        m_shape = gate_metrics(est / max(z, 1e-30), actual)
+        m.update(
+            epoch=epoch, est_mean=float(est.mean()), actual_mean=float(actual.mean()),
+            z=z, mad_shape=m_shape["mad"],
+        )
+        history.append(m)
+        print(json.dumps({"config": args.config, "seed": args.seed, **m}), flush=True)
+        return False
+
+    t0 = time.time()
+    result = fit(model, r, key=fit_key, callback=evaluate, callback_every=args.eval_every)
+    final = history[-1] if history else {}
+    summary = {
+        "config": args.config,
+        "seed": args.seed,
+        "epochs": result.epochs,
+        "lr": args.lr,
+        "adjoint": args.adjoint,
+        "batch_size": args.batch_size,
+        "wall_s": round(time.time() - t0, 1),
+        "final": {k: final.get(k) for k in ("mad", "msd", "tv")},
+        "best_mad": min((h["mad"] for h in history), default=None),
+        "best_epoch": min(history, key=lambda h: h["mad"])["epoch"] if history else None,
+        "passes": bool(final) and final["mad"] <= 0.1 and final["msd"] <= 0.1 and final["tv"] <= 0.1,
+    }
+    print("SUMMARY " + json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()
