@@ -36,10 +36,12 @@ from .core import (
     CondPlanar,
     Regs,
     construct,
+    CALIBRATED_AUG_SIGMA,
     init_params,
     inference,
     generate,
     loss,
+    loss_and_metrics,
 )
 from .nets import Chain, CondLayer, Dense, MLP, PlanarLayer
 from .ode import odeint, odeint_with_stats
@@ -85,10 +87,12 @@ __all__ = [
     "CondPlanar",
     "Regs",
     "construct",
+    "CALIBRATED_AUG_SIGMA",
     "init_params",
     "inference",
     "generate",
     "loss",
+    "loss_and_metrics",
     # nets
     "Chain",
     "CondLayer",

@@ -10,11 +10,13 @@ from .icnf import (
     CondFFJORD,
     CondPlanar,
     Regs,
+    CALIBRATED_AUG_SIGMA,
     construct,
     init_params,
     inference,
     generate,
     loss,
+    loss_and_metrics,
 )
 
 __all__ = [
@@ -29,9 +31,11 @@ __all__ = [
     "CondFFJORD",
     "CondPlanar",
     "Regs",
+    "CALIBRATED_AUG_SIGMA",
     "construct",
     "init_params",
     "inference",
     "generate",
     "loss",
+    "loss_and_metrics",
 ]

@@ -12,6 +12,7 @@ jitter, base-dist sampling) is explicit-PRNG via `jax.random` keys.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
@@ -62,6 +63,11 @@ class CondPlanar(_VariantTag):
 _COND_VARIANTS = (CondRNODE, CondFFJORD, CondPlanar)
 _RNODE_VARIANTS = (RNODE, CondRNODE)
 
+#: Aug-input noise std that calibrates the augmented slice: the per-dim
+#: Gaussian density at 0 is (2*pi*sigma^2)^{-1/2} = 1 at this sigma, so the
+#: proper-MLE optimum has p_hat(x, 0) = p(x).  See `ICNF.aug_noise`.
+CALIBRATED_AUG_SIGMA = 1.0 / math.sqrt(2.0 * math.pi)
+
 
 class Regs(NamedTuple):
     """Per-sample regularizer integrals returned alongside log-density.
@@ -99,6 +105,19 @@ class ICNF:
     # density proper — the fully-transported variant's MLE objective is
     # degenerate (see recipes.py).  Off by default (reference parity).
     aug_passive: bool = False
+    # TRAIN-mode augmented-input noise std.  The reference zero-fills the
+    # augmented inputs in training (`/root/reference/src/base_icnf.jl:275-281`),
+    # which makes MLE of the slice density p_hat(x, 0) unbounded (the slice
+    # mass z = ∫p_hat(x,0)dx random-walks without an optimum at z=1 — see
+    # REGRESSION.md).  With aug_noise = sigma > 0 the TRAIN objective becomes
+    # the proper joint MLE  E_{x~data, a~N(0,sigma^2 I)}[log p_hat(x, a)]
+    # whose optimum is p_hat(x, a) = p(x) N(a; 0, sigma^2 I); choosing
+    # sigma = (2*pi)^{-1/2} (CALIBRATED_AUG_SIGMA) makes the per-dim density
+    # N(0; 0, sigma^2) = 1, so the optimum satisfies p_hat(x, 0) = p(x)
+    # exactly and the reference's TestMode slice evaluation is calibrated by
+    # construction.  0 = reference-literal zeros.  Augmentation stays fully
+    # transported either way.
+    aug_noise: float = 0.0
 
     @property
     def augmented(self) -> bool:
@@ -147,6 +166,7 @@ def construct(
     solver: SolverOptions = SolverOptions(),
     dtype: Any = jnp.float32,
     aug_passive: bool = False,
+    aug_noise: Any = 0.0,
 ) -> ICNF:
     """The single public constructor (reference `construct`,
     `/root/reference/src/base_icnf.jl:1-77`).
@@ -156,7 +176,12 @@ def construct(
     True for Cond* variants (`src/base_icnf.jl:14`); tspan = (0, 1);
     steering draws t1 jitter from Uniform(-steer_rate, steer_rate)
     (`src/base_icnf.jl:40`).
+
+    `aug_noise` may be a float sigma or the string "calibrated"
+    (= CALIBRATED_AUG_SIGMA); see `ICNF.aug_noise`.
     """
+    if aug_noise == "calibrated":
+        aug_noise = CALIBRATED_AUG_SIGMA
     if not (isinstance(variant, type) and issubclass(variant, _VariantTag)):
         raise TypeError(f"variant must be one of the ICNF tags, got {variant!r}")
     is_rnode = issubclass(variant, _RNODE_VARIANTS)
@@ -180,6 +205,7 @@ def construct(
         solver=solver,
         dtype=dtype,
         aug_passive=bool(aug_passive),
+        aug_noise=float(aug_noise),
     )
 
 
@@ -297,6 +323,15 @@ def inference(
     if mode == Mode.TRAIN:
         if key is None:
             raise ValueError("TRAIN-mode inference requires a PRNG key")
+        if icnf.aug_noise > 0.0 and icnf.n_aug_input:
+            # Calibrated transported augmentation: draw the aug inputs from
+            # N(0, aug_noise^2) so the TRAIN objective is a proper joint MLE
+            # (see `ICNF.aug_noise`).  TEST keeps the reference's zeros.
+            key, aug_key = jax.random.split(key)
+            a0 = icnf.aug_noise * jax.random.normal(
+                aug_key, (B, icnf.n_aug_input), icnf.dtype
+            )
+            z0 = jnp.concatenate([xs, a0], axis=-1)
         eps_key, steer_key = jax.random.split(key)
         if eps is None:
             # One probe draw per call, fixed across the trajectory (reference
@@ -406,15 +441,47 @@ def loss(
     static batch shapes while preserving the reference's partial-batch
     semantics (padded samples get weight 0).
     """
-    logpx, regs, _ = inference(icnf, mode, xs, ps, ys=ys, key=key, eps=eps)
+    return loss_and_metrics(
+        icnf, mode, xs, ps, ys=ys, key=key, weights=weights, eps=eps
+    )[0]
+
+
+def loss_and_metrics(
+    icnf: ICNF,
+    mode: Mode,
+    xs: jax.Array,
+    ps: Any,
+    *,
+    ys: Optional[jax.Array] = None,
+    key: Optional[jax.Array] = None,
+    weights: Optional[jax.Array] = None,
+    eps: Optional[jax.Array] = None,
+):
+    """`loss` plus the per-step observability dict (SURVEY §5): loss, mean
+    Edot (kinetic energy), mean ndot (Jacobian norm), and the forward solve's
+    NFE.  The metrics are aux outputs — differentiate with `has_aux=True`."""
+    logpx, regs, stats = inference(icnf, mode, xs, ps, ys=ys, key=key, eps=eps)
     if mode == Mode.TRAIN:
         per_sample = -logpx + icnf.lam1 * regs.e + icnf.lam2 * regs.n + icnf.lam3 * regs.a
     else:
         per_sample = -logpx
     if weights is None:
-        return jnp.mean(per_sample)
-    weights = jnp.asarray(weights, per_sample.dtype)
-    return jnp.sum(per_sample * weights) / jnp.maximum(jnp.sum(weights), 1e-12)
+        l = jnp.mean(per_sample)
+        e_mean = jnp.mean(regs.e)
+        n_mean = jnp.mean(regs.n)
+    else:
+        weights = jnp.asarray(weights, per_sample.dtype)
+        denom = jnp.maximum(jnp.sum(weights), 1e-12)
+        l = jnp.sum(per_sample * weights) / denom
+        e_mean = jnp.sum(regs.e * weights) / denom
+        n_mean = jnp.sum(regs.n * weights) / denom
+    metrics = {
+        "loss": l,
+        "e": jax.lax.stop_gradient(e_mean),
+        "n": jax.lax.stop_gradient(n_mean),
+        "nfe": stats.nfe,
+    }
+    return l, metrics
 
 
 __all__ = [
@@ -426,9 +493,11 @@ __all__ = [
     "CondFFJORD",
     "CondPlanar",
     "Regs",
+    "CALIBRATED_AUG_SIGMA",
     "construct",
     "init_params",
     "inference",
     "generate",
     "loss",
+    "loss_and_metrics",
 ]

@@ -34,6 +34,51 @@ def shard_params(mesh, ps: Any) -> Any:
     return jax.device_put(ps, replicated(mesh))
 
 
+def make_train_step_body(icnf: ICNF, optimizer, mesh=None) -> Callable:
+    """The ONE training-step body shared by `fit` and the sharded entry point.
+
+    Returns `step(ps, opt_state, xs, key, weights=None, ys=None) ->
+    (ps, opt_state, metrics)` (unjitted — `fit` scans it, the sharded wrapper
+    jits it).  Hutchinson probes are drawn here so that with a mesh they can
+    be constrained to ("probe", "data") — the same math runs sharded and
+    unsharded (the probe draw depends only on the key, not the mesh), so a
+    multi-device fit reproduces the single-device fit.
+
+    `metrics` is a dict: loss, e (mean Edot), n (mean ndot), nfe (forward
+    solve NFE) — the per-step observability of SURVEY §5.
+    """
+    from ..core.icnf import loss_and_metrics
+
+    d_shard = data_sharding(mesh) if mesh is not None else None
+    p_shard = probe_sharding(mesh) if mesh is not None else None
+
+    def step(ps, opt_state, xs, key, weights=None, ys=None):
+        eps_key, loss_key = jax.random.split(key)
+        B = xs.shape[0]
+        eps = sample_eps(
+            eps_key,
+            (icnf.compute_mode.num_probes, B, icnf.zdim),
+            icnf.compute_mode.eps_dist,
+            icnf.dtype,
+        )
+        if mesh is not None:
+            eps = jax.lax.with_sharding_constraint(eps, p_shard)
+            xs = jax.lax.with_sharding_constraint(xs, d_shard)
+            if ys is not None:
+                ys = jax.lax.with_sharding_constraint(ys, d_shard)
+        (l, metrics), g = jax.value_and_grad(
+            lambda p: loss_and_metrics(
+                icnf, Mode.TRAIN, xs, p, ys=ys, key=loss_key, weights=weights, eps=eps
+            ),
+            has_aux=True,
+        )(ps)
+        updates, opt_state = optimizer.update(g, opt_state, ps)
+        ps = optax.apply_updates(ps, updates)
+        return ps, opt_state, metrics
+
+    return step
+
+
 def make_sharded_train_step(
     icnf: ICNF,
     optimizer,
@@ -45,29 +90,16 @@ def make_sharded_train_step(
     xs is consumed with (data,)-sharding; Hutchinson probes are drawn inside
     and constrained to ("probe", "data") so the K-probe axis parallelizes
     across the probe mesh dimension.  Params/optimizer state are replicated;
-    XLA all-reduces gradients over both axes.
+    XLA all-reduces gradients over both axes.  Delegates to the same step
+    body `fit` scans (`make_train_step_body`).
     """
     d_shard = data_sharding(mesh)
-    p_shard = probe_sharding(mesh)
     r_shard = replicated(mesh)
+    body = make_train_step_body(icnf, optimizer, mesh)
 
     def step(ps, opt_state, xs, key):
-        eps_key, loss_key = jax.random.split(key)
-        B = xs.shape[0]
-        eps = sample_eps(
-            eps_key,
-            (icnf.compute_mode.num_probes, B, icnf.zdim),
-            icnf.compute_mode.eps_dist,
-            icnf.dtype,
-        )
-        eps = jax.lax.with_sharding_constraint(eps, p_shard)
-        xs = jax.lax.with_sharding_constraint(xs, d_shard)
-        l, g = jax.value_and_grad(
-            lambda p: loss(icnf, Mode.TRAIN, xs, p, key=loss_key, eps=eps)
-        )(ps)
-        updates, opt_state = optimizer.update(g, opt_state, ps)
-        ps = optax.apply_updates(ps, updates)
-        return ps, opt_state, l
+        ps, opt_state, metrics = body(ps, opt_state, xs, key)
+        return ps, opt_state, metrics["loss"]
 
     return jax.jit(
         step,

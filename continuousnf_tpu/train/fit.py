@@ -70,6 +70,9 @@ class FitResult:
     losses: np.ndarray  # per-epoch mean training loss
     wall_time_s: float
     epochs: int
+    # Per-epoch observability (SURVEY §5): arrays keyed "loss", "e" (mean
+    # Edot), "n" (mean ndot), "nfe" (mean forward NFE), "samples_per_s".
+    metrics: Optional[dict] = None
     # Column names seen at fit time for named-table inputs (None for plain
     # arrays); transform validates/reorders named inputs against these so a
     # reordered DataFrame scores the same densities.
@@ -96,9 +99,12 @@ def _make_epochs_fn(
     bottleneck on remote-attached TPUs).  Padded tail samples carry weight 0,
     reproducing the reference DataLoader's `partial=true` semantics with
     static shapes."""
+    from ..parallel.sharding import make_train_step_body
+
     icnf = model.icnf
     batch_size = model.batch_size if model.use_batch else n
     n_batches, pad = _pad_count(n, batch_size)
+    step_body = make_train_step_body(icnf, optimizer, mesh)
 
     def one_epoch(ps, opt_state, xs, ys, key):
         perm_key, step_key = jax.random.split(key)
@@ -120,23 +126,15 @@ def _make_epochs_fn(
                 bx, bw, by, k = inp
             else:
                 (bx, bw, k), by = inp, None
-            if mesh is not None:
-                from ..parallel.sharding import shard_batch
-
-                bx = shard_batch(mesh, bx)
-                if by is not None:
-                    by = shard_batch(mesh, by)
-            l, g = jax.value_and_grad(
-                lambda p: loss(icnf, Mode.TRAIN, bx, p, ys=by, key=k, weights=bw)
-            )(ps)
-            updates, opt_state = optimizer.update(g, opt_state, ps)
-            ps = optax.apply_updates(ps, updates)
-            return (ps, opt_state), l
+            ps, opt_state, metrics = step_body(ps, opt_state, bx, k, weights=bw, ys=by)
+            return (ps, opt_state), metrics
 
         keys = jax.random.split(step_key, n_batches)
         inputs = (xb, wb, yb, keys) if has_cond else (xb, wb, keys)
-        (ps, opt_state), ls = jax.lax.scan(step, (ps, opt_state), inputs)
-        return ps, opt_state, jnp.mean(ls)
+        (ps, opt_state), ms = jax.lax.scan(step, (ps, opt_state), inputs)
+        # Per-epoch metric means (nfe as float mean over the epoch's steps).
+        ms = {k: jnp.mean(v.astype(jnp.float32)) for k, v in ms.items()}
+        return ps, opt_state, ms
 
     def epochs(ps, opt_state, xs, ys, train_key, epoch_base):
         def body(carry, idx):
@@ -144,12 +142,12 @@ def _make_epochs_fn(
             # Per-epoch keys derive from the GLOBAL epoch index so chunk
             # sizing (which adapts to wall-clock) never changes the math.
             ekey = jax.random.fold_in(train_key, idx)
-            ps, opt_state, l = one_epoch(ps, opt_state, xs, ys, ekey)
-            return (ps, opt_state), l
+            ps, opt_state, ms = one_epoch(ps, opt_state, xs, ys, ekey)
+            return (ps, opt_state), ms
 
         idxs = epoch_base + jnp.arange(epochs_per_call)
-        (ps, opt_state), ls = jax.lax.scan(body, (ps, opt_state), idxs)
-        return ps, opt_state, ls
+        (ps, opt_state), ms = jax.lax.scan(body, (ps, opt_state), idxs)
+        return ps, opt_state, ms
 
     return jax.jit(epochs)
 
@@ -165,6 +163,7 @@ def fit(
     mesh=None,
     callback=None,
     callback_every: int = 0,
+    profile_dir: Optional[str] = None,
 ) -> FitResult:
     """Train the model on data `X` (n, nvars) [and conditioning `Y` (n, n_cond)].
 
@@ -175,6 +174,11 @@ def fit(
     `callback(epoch, ps) -> bool` runs every `callback_every` epochs (when
     both are set); returning True stops training early — used e.g. by the
     augmented-slice normalization monitor (recipes.py).
+
+    `verbosity > 0` prints per-chunk progress on host 0 only (multi-host
+    safe); `profile_dir` wraps the run in a `jax.profiler` trace (the analog
+    of the reference's `@timed`/`progress` instrumentation,
+    `src/exts/mlj_ext/core_icnf.jl:65-86`).
     """
     from ..data import table_to_matrix
 
@@ -196,10 +200,14 @@ def fit(
     if ps is None:
         ps = init_params(icnf, init_key)
 
+    is_host0 = jax.process_index() == 0
+
     t_start = time.perf_counter()
-    losses = []
+    history = []  # list of (metrics-dict-of-device-arrays, samples_per_s)
     epoch_i = 0
     stopped = False
+    if profile_dir is not None:
+        jax.profiler.start_trace(profile_dir)
     # One device call covers a chunk of epochs; callbacks run between chunks.
     # Chunk size adapts to keep each device call under ~15s: very long calls
     # can trip execution watchdogs on remote-attached runtimes, and very short
@@ -221,30 +229,47 @@ def fit(
             if cs not in fns:
                 fns[cs] = _make_epochs_fn(model, n, has_cond, opt, mesh, epochs_per_call=cs)
             t_call = time.perf_counter()
-            ps, opt_state, ls = fns[cs](
+            ps, opt_state, ms = fns[cs](
                 ps, opt_state, xs, ys, train_key, jnp.asarray(epoch_i, jnp.int32)
             )
             if epoch_cost is None and ci > 0:
                 # Second chunk=1 call is compile-free: measure the epoch cost
                 # (host readback closes the region) and pick the chunk size.
-                float(ls[-1])
+                float(ms["loss"][-1])
                 epoch_cost = max((time.perf_counter() - t_call) / cs, 1e-3)
                 chunk = int(max(1, min(max_chunk, TARGET_CALL_S / epoch_cost)))
+            chunk_wall = time.perf_counter() - t_call
             epoch_i += cs
             remaining -= cs
             ci += 1
-            losses.extend(list(ls))  # device arrays; sync'd at the end
-            if verbosity and model.sync_every and ci % model.sync_every == 0:
-                print(f"[fit] epoch {epoch_i}: loss={float(ls[-1]):.4f}")
+            # Device arrays; sync'd at the end.  samples/s is chunk-level
+            # (includes any compile on the chunk's first use).
+            history.append((ms, n * cs / max(chunk_wall, 1e-9)))
+            if verbosity and is_host0 and model.sync_every and ci % model.sync_every == 0:
+                print(
+                    f"[fit] epoch {epoch_i}: loss={float(ms['loss'][-1]):.4f} "
+                    f"E={float(ms['e'][-1]):.3f} n={float(ms['n'][-1]):.3f} "
+                    f"nfe={float(ms['nfe'][-1]):.0f}"
+                )
             if callback is not None and callback_every and callback(epoch_i, ps):
                 stopped = True
-    losses = np.asarray([float(l) for l in losses], np.float64)
+    if profile_dir is not None:
+        jax.profiler.stop_trace()
+    metrics: dict = {k: [] for k in ("loss", "e", "n", "nfe")}
+    metrics["samples_per_s"] = []
+    for ms, sps in history:
+        per_epoch = np.asarray(ms["loss"]).shape[0]
+        for k in ("loss", "e", "n", "nfe"):
+            metrics[k].extend(np.asarray(ms[k], np.float64))
+        metrics["samples_per_s"].extend([sps] * per_epoch)
+    metrics = {k: np.asarray(v, np.float64) for k, v in metrics.items()}
+    losses = metrics["loss"]
     wall = time.perf_counter() - t_start
-    if verbosity:
+    if verbosity and is_host0:
         print(f"[fit] {epoch_i} epochs in {wall:.1f}s; final loss {losses[-1]:.4f}")
     return FitResult(
         icnf=icnf, ps=ps, losses=losses, wall_time_s=wall, epochs=epoch_i,
-        column_names=col_names, cond_column_names=cond_names,
+        column_names=col_names, cond_column_names=cond_names, metrics=metrics,
     )
 
 

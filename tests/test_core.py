@@ -192,3 +192,40 @@ def test_jit_loss():
     l_eager = cnf.loss(icnf, Mode.TRAIN, xs, ps, key=key)
     l_jit = jax.jit(lambda x, p, k: cnf.loss(icnf, Mode.TRAIN, x, p, key=k))(xs, ps, key)
     np.testing.assert_allclose(float(l_eager), float(l_jit), rtol=1e-5)
+
+
+def test_calibrated_aug_noise_train_only():
+    """aug_noise draws TRAIN aug inputs from N(0, sigma^2) (objective becomes
+    the proper joint MLE); TEST keeps the reference's zero-filled slice, and
+    the calibrated sigma makes the per-dim Gaussian density at 0 equal 1."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    import continuousnf_tpu as cnf
+    from continuousnf_tpu import Mode
+
+    sigma = cnf.CALIBRATED_AUG_SIGMA
+    assert abs(1.0 / math.sqrt(2.0 * math.pi * sigma**2) - 1.0) < 1e-6
+
+    nn = cnf.MLP((2, 4, 2))
+    lit = cnf.construct(cnf.RNODE, nn, 1, 1, tspan=(0.0, 0.5))
+    cal = cnf.construct(cnf.RNODE, nn, 1, 1, tspan=(0.0, 0.5), aug_noise="calibrated")
+    assert lit.aug_noise == 0.0 and abs(cal.aug_noise - sigma) < 1e-7
+
+    key = jax.random.PRNGKey(0)
+    ps = lit.init(key)
+    xs = jnp.full((64, 1), 0.3, jnp.float32)
+
+    # TEST mode identical (zero slice) regardless of aug_noise.
+    lp_lit, _, _ = cnf.inference(lit, Mode.TEST, xs, ps)
+    lp_cal, _, _ = cnf.inference(cal, Mode.TEST, xs, ps)
+    assert jnp.allclose(lp_lit, lp_cal)
+
+    # TRAIN mode: noise makes per-sample logp vary across the (identical-x)
+    # batch beyond the shared-probe effect; literal zeros keep them closer.
+    k = jax.random.PRNGKey(1)
+    lp_t_lit, _, _ = cnf.inference(lit, Mode.TRAIN, xs, ps, key=k)
+    lp_t_cal, _, _ = cnf.inference(cal, Mode.TRAIN, xs, ps, key=k)
+    assert not jnp.allclose(lp_t_lit, lp_t_cal)

@@ -88,3 +88,33 @@ def test_fit_with_mesh_runs():
     X = jax.random.uniform(jax.random.PRNGKey(0), (32, 2))
     res = cnf.fit(model, X, key=jax.random.PRNGKey(1), mesh=mesh)
     assert np.isfinite(res.losses).all()
+
+
+def test_fit_with_mesh_matches_unsharded_fit():
+    """`fit(mesh=...)` runs the SAME step body (probe+data sharding, psum
+    reductions) as the unsharded fit — a 4x2 mesh fit must reproduce the
+    1-device fit to float tolerance (VERDICT r1 item 3)."""
+    icnf, _, _ = _setup(num_probes=2)
+    mesh = make_mesh(MeshConfig(data=4, probe=2))
+    model = cnf.ICNFModel(icnf, n_epochs=3, batch_size=16)
+    X = jax.random.uniform(jax.random.PRNGKey(0), (48, 2))
+    res_m = cnf.fit(model, X, key=jax.random.PRNGKey(1), mesh=mesh)
+    res_1 = cnf.fit(model, X, key=jax.random.PRNGKey(1))
+    np.testing.assert_allclose(res_m.losses, res_1.losses, rtol=2e-4, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(res_m.ps), jax.tree_util.tree_leaves(res_1.ps)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+
+def test_fit_metrics_observability():
+    """FitResult.metrics carries per-epoch loss/E/n/NFE/samples_per_s."""
+    icnf, _, _ = _setup()
+    model = cnf.ICNFModel(icnf, n_epochs=2, batch_size=16)
+    X = jax.random.uniform(jax.random.PRNGKey(0), (32, 2))
+    res = cnf.fit(model, X, key=jax.random.PRNGKey(1))
+    assert set(res.metrics) == {"loss", "e", "n", "nfe", "samples_per_s"}
+    for k, v in res.metrics.items():
+        assert v.shape == (2,), (k, v.shape)
+        assert np.isfinite(v).all(), k
+    assert (res.metrics["nfe"] > 0).all()
+    assert (res.metrics["samples_per_s"] > 0).all()
+    np.testing.assert_array_equal(res.metrics["loss"], res.losses)

@@ -56,7 +56,7 @@ def gate_metrics(est: np.ndarray, actual: np.ndarray) -> dict:
 
 
 def build(config: str, seed: int, epochs: int, lr: float, batch_size: int,
-          adjoint: str = "backsolve"):
+          adjoint: str = "backsolve", aug_noise: float = 0.0):
     import dataclasses as dc
 
     from continuousnf_tpu.types import Adjoint
@@ -80,6 +80,7 @@ def build(config: str, seed: int, epochs: int, lr: float, batch_size: int,
     icnf = construct(
         RNODE, nn, nvars, naug,
         tspan=(0.0, 13.0), steer_rate=0.1, lam3=1e-2, solver=solver,
+        aug_noise=aug_noise,
     )
     opt = optax.lion(lr, b1=0.9, b2=0.99)
     model = ICNFModel(icnf, optimizers=(opt,), n_epochs=epochs, batch_size=batch_size)
@@ -96,10 +97,20 @@ def main() -> None:
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--eval-every", type=int, default=10)
     ap.add_argument("--adjoint", default="backsolve", choices=("backsolve", "direct"))
+    ap.add_argument(
+        "--aug-noise", default=0.0,
+        help='TRAIN aug-input noise sigma, or "calibrated" (= (2*pi)^{-1/2})',
+    )
     args = ap.parse_args()
+    if args.aug_noise == "calibrated":
+        from continuousnf_tpu.core.icnf import CALIBRATED_AUG_SIGMA
+
+        args.aug_noise = CALIBRATED_AUG_SIGMA
+    args.aug_noise = float(args.aug_noise)
 
     icnf, model, r, actual, fit_key, dist = build(
-        args.config, args.seed, args.epochs, args.lr, args.batch_size, args.adjoint
+        args.config, args.seed, args.epochs, args.lr, args.batch_size, args.adjoint,
+        args.aug_noise,
     )
 
     score = jax.jit(lambda ps, xs: inference(icnf, Mode.TEST, xs, ps)[0])
@@ -146,6 +157,7 @@ def main() -> None:
         "epochs": result.epochs,
         "lr": args.lr,
         "adjoint": args.adjoint,
+        "aug_noise": args.aug_noise,
         "batch_size": args.batch_size,
         "wall_s": round(time.time() - t0, 1),
         "final": {k: final.get(k) for k in ("mad", "msd", "tv")},
