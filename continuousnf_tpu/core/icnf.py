@@ -105,6 +105,19 @@ class ICNF:
     # density proper — the fully-transported variant's MLE objective is
     # degenerate (see recipes.py).  Off by default (reference parity).
     aug_passive: bool = False
+    # Pluggable base distribution over the zdim-dimensional transported state
+    # (reference `basedist`, `/root/reference/src/base_icnf.jl:16-19`): any
+    # hashable object with `logpdf(z (..,zdim)) -> (..,)` and
+    # `sample(key, batch_shape, dtype) -> (*batch_shape, zdim)`, e.g.
+    # `distributions.MvDiagNormal` / `MvLogistic`.  None = standard normal
+    # (the reference's default, and the fast path).
+    basedist: Any = None
+    # Pluggable Hutchinson-probe distribution (reference `epsdist`,
+    # `src/base_icnf.jl:22-25`): any hashable object with
+    # `sample(key, batch_shape, dtype) -> (*batch_shape, zdim)`.  None uses
+    # `compute_mode.eps_dist` (gaussian/rademacher enum — the kernel-friendly
+    # path).  Correct trace estimates need E[eps eps^T] = I.
+    epsdist: Any = None
     # TRAIN-mode augmented-input noise std.  The reference zero-fills the
     # augmented inputs in training (`/root/reference/src/base_icnf.jl:275-281`),
     # which makes MLE of the slice density p_hat(x, 0) unbounded (the slice
@@ -143,6 +156,28 @@ class ICNF:
     def init(self, key: jax.Array) -> Any:
         return init_params(self, key)
 
+    def base_logpdf(self, z: jax.Array) -> jax.Array:
+        """Base-dist log-density of the transported state (`basedist` if set,
+        else standard normal — reference `src/base_icnf.jl:155-156`)."""
+        if self.basedist is not None:
+            return self.basedist.logpdf(z)
+        return std_normal_logpdf(z)
+
+    def base_sample(self, key: jax.Array, batch_shape: Tuple[int, ...]) -> jax.Array:
+        """Draw (*batch_shape, zdim) base-dist samples (reference
+        `src/base_icnf.jl:329`)."""
+        if self.basedist is not None:
+            return self.basedist.sample(key, batch_shape, self.dtype)
+        return jax.random.normal(key, (*batch_shape, self.zdim), self.dtype)
+
+    def draw_eps(self, key: jax.Array, batch: int) -> jax.Array:
+        """Draw the (num_probes, batch, zdim) Hutchinson probes from
+        `epsdist` if set, else from the `compute_mode.eps_dist` enum."""
+        shape = (self.compute_mode.num_probes, batch)
+        if self.epsdist is not None:
+            return self.epsdist.sample(key, shape, self.dtype)
+        return sample_eps(key, (*shape, self.zdim), self.compute_mode.eps_dist, self.dtype)
+
     def __call__(self, xs, ps, *, ys=None, key=None):
         """Lux-style callable: TRAIN-mode log-density (reference
         `(icnf)(xs, ps, st)`, `src/base_icnf.jl:528-543`)."""
@@ -165,6 +200,8 @@ def construct(
     lam3: float = 0.0,
     solver: SolverOptions = SolverOptions(),
     dtype: Any = jnp.float32,
+    basedist: Any = None,
+    epsdist: Any = None,
     aug_passive: bool = False,
     aug_noise: Any = 0.0,
 ) -> ICNF:
@@ -177,9 +214,17 @@ def construct(
     steering draws t1 jitter from Uniform(-steer_rate, steer_rate)
     (`src/base_icnf.jl:40`).
 
-    `aug_noise` may be a float sigma or the string "calibrated"
-    (= CALIBRATED_AUG_SIGMA); see `ICNF.aug_noise`.
+    `basedist`/`epsdist` plug in custom distributions over the
+    zdim-dimensional state (reference `src/base_icnf.jl:16-25`); see the
+    `ICNF` field docs for the protocol.  `aug_noise` may be a float sigma or
+    the string "calibrated" (= CALIBRATED_AUG_SIGMA); see `ICNF.aug_noise`.
     """
+    zdim = int(nvars) + int(naugmented)
+    for name, dist in (("basedist", basedist), ("epsdist", epsdist)):
+        if dist is not None and getattr(dist, "dim", zdim) != zdim:
+            raise ValueError(
+                f"{name}.dim = {dist.dim} must equal nvars + naugmented = {zdim}"
+            )
     if aug_noise == "calibrated":
         aug_noise = CALIBRATED_AUG_SIGMA
     if not (isinstance(variant, type) and issubclass(variant, _VariantTag)):
@@ -204,6 +249,8 @@ def construct(
         lam3=float(lam3),
         solver=solver,
         dtype=dtype,
+        basedist=basedist,
+        epsdist=epsdist,
         aug_passive=bool(aug_passive),
         aug_noise=float(aug_noise),
     )
@@ -337,12 +384,7 @@ def inference(
             # One probe draw per call, fixed across the trajectory (reference
             # `src/base_icnf.jl:277-278`).  Callers may pre-sample eps to
             # control its device sharding (probe-axis parallelism).
-            eps = sample_eps(
-                eps_key,
-                (icnf.compute_mode.num_probes, B, icnf.zdim),
-                icnf.compute_mode.eps_dist,
-                icnf.dtype,
-            )
+            eps = icnf.draw_eps(eps_key, B)
             if icnf.aug_passive and icnf.n_aug_input:
                 # Passive dims have a zero field row/column: probing them only
                 # adds variance to the trace estimate.  Restrict probes to the
@@ -357,7 +399,7 @@ def inference(
         t0, t1 = _steer_tspan(icnf, mode, None)
 
     stateT, stats = _solve(icnf, mode, state0, args, t0, t1)
-    logpz = std_normal_logpdf(stateT.z)
+    logpz = icnf.base_logpdf(stateT.z)
     logpx = logpz - stateT.dlogp
     regs = _final_regs(icnf, mode, stateT)
 
@@ -380,7 +422,8 @@ def generate(
     """Sample by integrating base-dist draws backward in time.
 
     Analog of the reference `generate` (`/root/reference/src/base_icnf.jl:428-466`):
-    z(t1) ~ N(0, I_{zdim}), integrate over reversed (steered) tspan, keep the
+    z(t1) ~ basedist (default N(0, I_{zdim})), integrate over reversed
+    (steered) tspan, keep the
     first `nvars` dims (`:191-211`).  `n=None` returns a single sample
     (VectorMode parity).
     """
@@ -393,16 +436,11 @@ def generate(
             ys = ys[None, :]
 
     z_key, eps_key, steer_key = jax.random.split(key, 3)
-    z1 = jax.random.normal(z_key, (B, icnf.zdim), icnf.dtype)
+    z1 = icnf.base_sample(z_key, (B,))
     zeros_b = jnp.zeros((B,), icnf.dtype)
 
     if mode == Mode.TRAIN:
-        eps = sample_eps(
-            eps_key,
-            (icnf.compute_mode.num_probes, B, icnf.zdim),
-            icnf.compute_mode.eps_dist,
-            icnf.dtype,
-        )
+        eps = icnf.draw_eps(eps_key, B)
         state1 = TrainState(z=z1, dlogp=zeros_b, reg_e=zeros_b, reg_n=zeros_b)
         args = {"ps": ps, "eps": eps, "ys": ys}
         t0, t1 = _steer_tspan(icnf, mode, steer_key)

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +43,66 @@ class MvStdNormal:
 
     def sample(self, key: jax.Array, batch_shape: Tuple[int, ...] = (), dtype=jnp.float32) -> jax.Array:
         return jax.random.normal(key, (*batch_shape, self.dim), dtype=dtype)
+
+
+def _param_array(v, dtype):
+    """Scalar-or-tuple distribution parameter -> array (tuples keep the
+    dataclass hashable, a requirement for jit-static ICNF configs)."""
+    return jnp.asarray(v, dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class MvDiagNormal:
+    """Diagonal-covariance normal over `dim` dimensions.
+
+    Pluggable base/eps distribution (the reference accepts any Distribution
+    for `basedist`/`epsdist`, `/root/reference/src/base_icnf.jl:16-25`).
+    `loc`/`scale` are scalars or length-`dim` tuples (hashable pytree-free
+    parameters, so the owning ICNF stays a valid jit static).
+    """
+
+    dim: int
+    loc: Any = 0.0
+    scale: Any = 1.0
+
+    def logpdf(self, z: jax.Array) -> jax.Array:
+        loc = _param_array(self.loc, z.dtype)
+        scale = _param_array(self.scale, z.dtype)
+        u = (z - loc) / scale
+        per_dim = -0.5 * (_LOG_2PI + jnp.square(u)) - jnp.log(scale)
+        return jnp.sum(jnp.broadcast_to(per_dim, z.shape), axis=-1)
+
+    def sample(self, key: jax.Array, batch_shape: Tuple[int, ...] = (), dtype=jnp.float32) -> jax.Array:
+        loc = _param_array(self.loc, dtype)
+        scale = _param_array(self.scale, dtype)
+        return loc + scale * jax.random.normal(key, (*batch_shape, self.dim), dtype=dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class MvLogistic:
+    """IID logistic over `dim` dimensions — a heavier-tailed, non-Gaussian
+    base distribution (exercises the pluggable-basedist path end to end)."""
+
+    dim: int
+    loc: Any = 0.0
+    scale: Any = 1.0
+
+    def logpdf(self, z: jax.Array) -> jax.Array:
+        loc = _param_array(self.loc, z.dtype)
+        scale = _param_array(self.scale, z.dtype)
+        u = (z - loc) / scale
+        # log f = -u - 2*log(1 + e^{-u}) - log s, numerically stable via softplus.
+        per_dim = -u - 2.0 * jax.nn.softplus(-u) - jnp.log(scale)
+        return jnp.sum(jnp.broadcast_to(per_dim, z.shape), axis=-1)
+
+    def sample(self, key: jax.Array, batch_shape: Tuple[int, ...] = (), dtype=jnp.float32) -> jax.Array:
+        loc = _param_array(self.loc, dtype)
+        scale = _param_array(self.scale, dtype)
+        u = jax.random.uniform(
+            key, (*batch_shape, self.dim), dtype=dtype,
+            minval=jnp.finfo(dtype).tiny, maxval=1.0,
+        )
+        return loc + scale * (jnp.log(u) - jnp.log1p(-u))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -109,6 +169,8 @@ __all__ = [
     "std_normal_logpdf",
     "std_normal_sample",
     "MvStdNormal",
+    "MvDiagNormal",
+    "MvLogistic",
     "Uniform",
     "Beta",
     "sample_eps",

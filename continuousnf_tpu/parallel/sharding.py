@@ -19,7 +19,6 @@ import jax.numpy as jnp
 import optax
 
 from ..core.icnf import ICNF, init_params, loss
-from ..distributions import sample_eps
 from ..types import Mode
 from .mesh import data_sharding, probe_sharding, replicated
 
@@ -54,13 +53,7 @@ def make_train_step_body(icnf: ICNF, optimizer, mesh=None) -> Callable:
 
     def step(ps, opt_state, xs, key, weights=None, ys=None):
         eps_key, loss_key = jax.random.split(key)
-        B = xs.shape[0]
-        eps = sample_eps(
-            eps_key,
-            (icnf.compute_mode.num_probes, B, icnf.zdim),
-            icnf.compute_mode.eps_dist,
-            icnf.dtype,
-        )
+        eps = icnf.draw_eps(eps_key, xs.shape[0])
         if mesh is not None:
             eps = jax.lax.with_sharding_constraint(eps, p_shard)
             xs = jax.lax.with_sharding_constraint(xs, d_shard)

@@ -229,3 +229,74 @@ def test_calibrated_aug_noise_train_only():
     lp_t_lit, _, _ = cnf.inference(lit, Mode.TRAIN, xs, ps, key=k)
     lp_t_cal, _, _ = cnf.inference(cal, Mode.TRAIN, xs, ps, key=k)
     assert not jnp.allclose(lp_t_lit, lp_t_cal)
+
+
+def test_pluggable_basedist_logistic():
+    """With a zero vector field the flow is the identity, so inference logp
+    must equal basedist.logpdf([x, 0]) exactly and generate must return raw
+    basedist draws — wiring parity with reference construct(basedist=...)
+    (`/root/reference/src/base_icnf.jl:16-19`)."""
+    import continuousnf_tpu as cnf
+    from continuousnf_tpu import Mode
+    from continuousnf_tpu.distributions import MvLogistic
+
+    nvars, naug = 2, 1
+    base = MvLogistic(dim=nvars + naug, loc=0.5, scale=2.0)
+    nn = cnf.MLP((3, 4, 3))
+    icnf = cnf.construct(cnf.FFJORD, nn, nvars, naug, basedist=base, tspan=(0.0, 1.0))
+    ps = jax.tree.map(jnp.zeros_like, icnf.init(jax.random.PRNGKey(0)))
+
+    xs = jax.random.normal(jax.random.PRNGKey(1), (16, nvars))
+    logpx, _, _ = cnf.inference(icnf, Mode.TEST, xs, ps)
+    z = jnp.concatenate([xs, jnp.zeros((16, naug))], axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(logpx), np.asarray(base.logpdf(z)), rtol=1e-4, atol=1e-5
+    )
+
+    # TRAIN mode flows the same zero field; logp identical up to solver eps.
+    lp_train, _, _ = cnf.inference(icnf, Mode.TRAIN, xs, ps, key=jax.random.PRNGKey(2))
+    np.testing.assert_allclose(np.asarray(lp_train), np.asarray(logpx), rtol=1e-4, atol=1e-5)
+
+    # generate: identity flow returns the first nvars dims of basedist draws.
+    samples = cnf.generate(icnf, Mode.TEST, ps, 2048, key=jax.random.PRNGKey(3))
+    assert samples.shape == (2048, nvars)
+    # Logistic(0.5, 2) has mean 0.5 and std 2*pi/sqrt(3) ~ 3.63 — far from the
+    # std-normal default; check the sample stats land on the logistic.
+    assert abs(float(jnp.mean(samples)) - 0.5) < 0.3
+    assert abs(float(jnp.std(samples)) - 3.6276) < 0.4
+
+
+def test_basedist_dim_validation():
+    import continuousnf_tpu as cnf
+    from continuousnf_tpu.distributions import MvDiagNormal
+
+    nn = cnf.MLP((3, 4, 3))
+    with pytest.raises(ValueError, match="basedist.dim"):
+        cnf.construct(cnf.FFJORD, nn, 2, 1, basedist=MvDiagNormal(dim=2))
+
+
+def test_pluggable_epsdist():
+    """epsdist=MvDiagNormal(scale=0) makes every Hutchinson probe zero, so
+    the TRAIN dlogp/ndot estimates vanish identically — proof the probes are
+    drawn from the plugged distribution (reference epsdist,
+    `src/base_icnf.jl:22-25`)."""
+    import continuousnf_tpu as cnf
+    from continuousnf_tpu import Mode
+    from continuousnf_tpu.distributions import MvDiagNormal
+
+    nvars = 2
+    nn = cnf.MLP((2, 6, 2))
+    icnf = cnf.construct(
+        cnf.RNODE, nn, nvars, epsdist=MvDiagNormal(dim=nvars, scale=0.0)
+    )
+    ps = icnf.init(jax.random.PRNGKey(0))
+    xs = jax.random.normal(jax.random.PRNGKey(1), (8, nvars))
+    logpx, regs, _ = cnf.inference(icnf, Mode.TRAIN, xs, ps, key=jax.random.PRNGKey(2))
+    # zero probes => eps^T J eps = 0 => dlogp == 0 => logpx == base logpdf(zT)
+    # and ndot == 0; the flow itself (and Edot) is unaffected.
+    assert float(jnp.max(jnp.abs(regs.n))) == 0.0
+    assert np.isfinite(np.asarray(logpx)).all()
+    # Compare against the exact-trace TEST logp: TRAIN-with-zero-probes must
+    # differ by exactly the (nonzero) true -int tr(J): i.e. NOT equal.
+    lp_test, _, _ = cnf.inference(icnf, Mode.TEST, xs, ps)
+    assert not np.allclose(np.asarray(logpx), np.asarray(lp_test), atol=1e-3)

@@ -56,7 +56,8 @@ def gate_metrics(est: np.ndarray, actual: np.ndarray) -> dict:
 
 
 def build(config: str, seed: int, epochs: int, lr: float, batch_size: int,
-          adjoint: str = "backsolve", aug_noise: float = 0.0):
+          adjoint: str = "backsolve", aug_noise: float = 0.0,
+          b2: float = 0.99, wd: float = 0.0):
     import dataclasses as dc
 
     from continuousnf_tpu.types import Adjoint
@@ -82,7 +83,10 @@ def build(config: str, seed: int, epochs: int, lr: float, batch_size: int,
         tspan=(0.0, 13.0), steer_rate=0.1, lam3=1e-2, solver=solver,
         aug_noise=aug_noise,
     )
-    opt = optax.lion(lr, b1=0.9, b2=0.99)
+    # Optimisers.jl's Lion rule is decay-free (decay is composed separately
+    # via OptimiserChain there); optax.lion silently defaults wd=1e-3, so an
+    # explicit weight_decay=0 is required for matched hyperparameters.
+    opt = optax.lion(lr, b1=0.9, b2=b2, weight_decay=wd)
     model = ICNFModel(icnf, optimizers=(opt,), n_epochs=epochs, batch_size=batch_size)
     actual = np.asarray(jnp.prod(dist.pdf(r), axis=1))
     return icnf, model, r, actual, fit_key, dist
@@ -97,6 +101,8 @@ def main() -> None:
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--eval-every", type=int, default=10)
     ap.add_argument("--adjoint", default="backsolve", choices=("backsolve", "direct"))
+    ap.add_argument("--b2", type=float, default=0.99)  # Lion paper beta2
+    ap.add_argument("--wd", type=float, default=0.0)  # Optimisers.Lion has no decay
     ap.add_argument(
         "--aug-noise", default=0.0,
         help='TRAIN aug-input noise sigma, or "calibrated" (= (2*pi)^{-1/2})',
@@ -110,7 +116,7 @@ def main() -> None:
 
     icnf, model, r, actual, fit_key, dist = build(
         args.config, args.seed, args.epochs, args.lr, args.batch_size, args.adjoint,
-        args.aug_noise,
+        args.aug_noise, args.b2, args.wd,
     )
 
     score = jax.jit(lambda ps, xs: inference(icnf, Mode.TEST, xs, ps)[0])
@@ -156,6 +162,8 @@ def main() -> None:
         "seed": args.seed,
         "epochs": result.epochs,
         "lr": args.lr,
+        "b2": args.b2,
+        "wd": args.wd,
         "adjoint": args.adjoint,
         "aug_noise": args.aug_noise,
         "batch_size": args.batch_size,
