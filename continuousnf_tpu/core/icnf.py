@@ -278,11 +278,12 @@ def _steer_tspan(icnf: ICNF, mode: Mode, key: Optional[jax.Array]):
 
 
 def _as_batch(x: jax.Array, name: str) -> Tuple[jax.Array, bool]:
+    from ..utils.debug import check_array
+
+    check_array(name, x, rank=(1, 2))
     if x.ndim == 1:
         return x[None, :], True
-    if x.ndim == 2:
-        return x, False
-    raise ValueError(f"{name} must be rank 1 or 2, got shape {x.shape}")
+    return x, False
 
 
 def _check_cond(icnf: ICNF, ys):
@@ -359,8 +360,9 @@ def inference(
         if squeeze and ys.ndim == 1:
             ys = ys[None, :]
     B = xs.shape[0]
-    if xs.shape[1] != icnf.nvars:
-        raise ValueError(f"xs has {xs.shape[1]} features, expected nvars={icnf.nvars}")
+    from ..utils.debug import check_array
+
+    check_array("xs", xs, last_dim=icnf.nvars, dtype=icnf.dtype)
 
     z0 = xs
     if icnf.n_aug_input:

@@ -183,9 +183,10 @@ def fit(
     from ..data import table_to_matrix
 
     icnf = model.icnf
+    from ..utils.debug import check_array
+
     xs, col_names = table_to_matrix(X, icnf.dtype)
-    if xs.ndim != 2 or xs.shape[1] != icnf.nvars:
-        raise ValueError(f"X must be (n, nvars={icnf.nvars}), got {xs.shape}")
+    check_array("X", xs, rank=(2,), last_dim=icnf.nvars, dtype=icnf.dtype)
     has_cond = icnf.cond
     if has_cond and Y is None:
         raise ValueError("conditional model requires Y")
