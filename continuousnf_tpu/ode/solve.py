@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.flatten_util import ravel_pytree
 
 from ..types import Adjoint, SolverOptions
-from .tableaus import TABLEAUS, ButcherTableau
+from .tableaus import TABLEAUS, ButcherTableau, get_tableau
 
 # Step-size controller constants (standard Hairer/OrdinaryDiffEq-style values).
 _SAFETY = 0.9
@@ -76,13 +76,23 @@ def _rk_step(
     dt: jax.Array,
     y: jax.Array,
     k1: jax.Array,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """One explicit RK step.  Returns (y_new, err, k_last).
+) -> Tuple[jax.Array, Tuple[jax.Array, Optional[jax.Array]], jax.Array]:
+    """One explicit RK step.  Returns (y_new, (err, err3), k_last).
 
-    The stage loop is unrolled at trace time (<= 7 stages); XLA fuses the
-    axpy chains.  For FSAL tableaus `k_last` is f at the new point.
+    The stage loop is unrolled at trace time (<= 13 stages); XLA fuses the
+    axpy chains.  For FSAL tableaus `k_last` is f at the new point.  `err3`
+    is the secondary error vector for 8(5,3)-style stretched estimates
+    (None unless the tableau defines btilde3).
     """
     dtype = y.dtype
+
+    def weighted(ws):
+        acc = jnp.zeros_like(y)
+        for i, wi in enumerate(ws):
+            if wi != 0.0:
+                acc = acc + (dt * jnp.asarray(wi, dtype)) * ks[i]
+        return acc
+
     ks = [k1]
     for i in range(1, tab.num_stages):
         yi = y
@@ -94,14 +104,9 @@ def _rk_step(
     for i, bi in enumerate(tab.b):
         if bi != 0.0:
             y_new = y_new + (dt * jnp.asarray(bi, dtype)) * ks[i]
-    if tab.btilde is not None:
-        err = jnp.zeros_like(y)
-        for i, bti in enumerate(tab.btilde):
-            if bti != 0.0:
-                err = err + (dt * jnp.asarray(bti, dtype)) * ks[i]
-    else:
-        err = jnp.zeros_like(y)
-    return y_new, err, ks[-1]
+    err = weighted(tab.btilde) if tab.btilde is not None else jnp.zeros_like(y)
+    err3 = weighted(tab.btilde3) if tab.btilde3 is not None else None
+    return y_new, (err, err3), ks[-1]
 
 
 def _initial_step_size(
@@ -145,11 +150,17 @@ def _attempt_step(f, tab: ButcherTableau, state: StepState, t1, tdir, rtol, atol
     is_last = jnp.abs(dt) >= remaining
     dt_use = tdir * jnp.minimum(jnp.abs(dt), remaining)
 
-    y_new, err, k_last = _rk_step(f, tab, t, dt_use, y, k1)
+    y_new, (err, err3), k_last = _rk_step(f, tab, t, dt_use, y, k1)
     # The error estimate only drives control flow (accept + step size); it must
     # not carry gradients — in the DIRECT (scan) path a masked no-op step has
     # dt=0 => err=0, and d/dx sqrt(x)|_0 = inf would poison the cotangents.
     eest = jax.lax.stop_gradient(_error_estimate(err, y, y_new, rtol, atol))
+    if err3 is not None:
+        # Hairer's stretched 8(5,3) estimate (dop853.f): combine the 5th- and
+        # 3rd-order embedded errors as e5^2 / sqrt(e5^2 + 0.01 e3^2).
+        e3 = jax.lax.stop_gradient(_error_estimate(err3, y, y_new, rtol, atol))
+        denom = jnp.sqrt(jnp.square(eest) + 0.01 * jnp.square(e3))
+        eest = jnp.where(denom > 0.0, jnp.square(eest) / jnp.maximum(denom, 1e-30), eest)
     finite = jnp.isfinite(eest) & jnp.all(jnp.isfinite(y_new))
     accept = (eest <= 1.0) & finite
 
@@ -304,7 +315,7 @@ def _solve_fixed_scan(f, tab, y0, t0, t1, num_steps: int):
 
 def _solve_forward_flat(func_flat, opts: SolverOptions, y0f, t0, t1, args):
     """Dispatch the non-custom-vjp solve paths on the flat state."""
-    tab = TABLEAUS[opts.method]
+    tab = get_tableau(opts.method, opts.rtol)
 
     def f(t, yf):
         return func_flat(yf, t, args)

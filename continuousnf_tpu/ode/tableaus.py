@@ -1,10 +1,19 @@
 """Butcher tableaus for explicit Runge–Kutta methods.
 
 Coefficients are the standard published values (Tsitouras 2011 for Tsit5,
-Dormand–Prince 1980 for Dopri5, Bogacki–Shampine 1989 for Bosh3).  Tsit5 is
-the default, matching what Julia's `DefaultODEAlgorithm` selects for the
-non-stiff CNF dynamics the reference solves
-(`/root/reference/src/base_icnf.jl:137-143`).
+Dormand–Prince 1980 for Dopri5, Bogacki–Shampine 1989 for Bosh3,
+Hairer–Nørsett–Wanner for Dop853).  Tsit5 is the default, matching what
+Julia's `DefaultODEAlgorithm` selects for the non-stiff CNF dynamics the
+reference solves (`/root/reference/src/base_icnf.jl:137-143`).
+
+Method "auto" mirrors that default algorithm's loose/tight tolerance split
+(`/root/reference/Project.toml:28` pulls OrdinaryDiffEqDefault, which pairs
+Tsit5 with the higher-order Vern7 for tight tolerances): rtol >= 1e-6 picks
+Tsit5, tighter picks Dop853 — the classic 8(5,3) high-accuracy explicit
+method, filling Vern7's role here with machine-exact published coefficients.
+Stiff auto-switching is intentionally out of scope: CNF vector fields are
+smooth bounded neural nets (tanh MLPs / planar layers), and the reference's
+own solves never leave the non-stiff branch at its tolerances.
 """
 
 from __future__ import annotations
@@ -34,6 +43,9 @@ class ButcherTableau:
     c: Tuple[float, ...]
     order: int
     fsal: bool
+    # Optional secondary (3rd-order) error weights for Hairer's stretched
+    # 5(3) error estimate (Dop853): eest = e5^2 / sqrt(e5^2 + 0.01*e3^2).
+    btilde3: Optional[Tuple[float, ...]] = None
 
     @property
     def num_stages(self) -> int:
@@ -164,6 +176,53 @@ TSIT5 = ButcherTableau(
 )
 
 
+# Hairer's 8(5,3) "DOP853" method (Hairer, Norsett & Wanner, Solving ODEs I,
+# 2nd ed., via the dop853.f reference implementation; coefficient values
+# machine-extracted from scipy.integrate's validated copy).  Represented as
+# 13 stages: stage 13 evaluates f at the new point with the propagation
+# weights (FSAL), feeding the embedded 5th/3rd-order error pair
+# (btilde/btilde3, combined with Hairer's stretch formula in the controller).
+DOP853 = ButcherTableau(
+    name="dop853",
+    a=(
+        (),
+        (0.05260015195876773,),
+        (0.0197250569845379, 0.0591751709536137),
+        (0.02958758547680685, 0.0, 0.08876275643042054),
+        (0.2413651341592667, 0.0, -0.8845494793282861, 0.924834003261792),
+        (0.037037037037037035, 0.0, 0.0, 0.17082860872947386, 0.12546768756682242),
+        (0.037109375, 0.0, 0.0, 0.17025221101954405, 0.06021653898045596, -0.017578125),
+        (0.03709200011850479, 0.0, 0.0, 0.17038392571223998, 0.10726203044637328, -0.015319437748624402, 0.008273789163814023),
+        (0.6241109587160757, 0.0, 0.0, -3.3608926294469414, -0.868219346841726, 27.59209969944671, 20.154067550477894, -43.48988418106996),
+        (0.47766253643826434, 0.0, 0.0, -2.4881146199716677, -0.590290826836843, 21.230051448181193, 15.279233632882423, -33.28821096898486, -0.020331201708508627),
+        (-0.9371424300859873, 0.0, 0.0, 5.186372428844064, 1.0914373489967295, -8.149787010746927, -18.52006565999696, 22.739487099350505, 2.4936055526796523, -3.0467644718982196),
+        (2.273310147516538, 0.0, 0.0, -10.53449546673725, -2.0008720582248625, -17.9589318631188, 27.94888452941996, -2.8589982771350235, -8.87285693353063, 12.360567175794303, 0.6433927460157636),
+        (0.054293734116568765, 0.0, 0.0, 0.0, 0.0, 4.450312892752409, 1.8915178993145003, -5.801203960010585, 0.3111643669578199, -0.1521609496625161, 0.20136540080403034, 0.04471061572777259),
+    ),
+    b=(0.054293734116568765, 0.0, 0.0, 0.0, 0.0, 4.450312892752409, 1.8915178993145003, -5.801203960010585, 0.3111643669578199, -0.1521609496625161, 0.20136540080403034, 0.04471061572777259, 0.0),
+    btilde=(0.01312004499419488, 0.0, 0.0, 0.0, 0.0, -1.2251564463762044, -0.4957589496572502, 1.6643771824549864, -0.35032884874997366, 0.3341791187130175, 0.08192320648511571, -0.022355307863886294, 0.0),
+    btilde3=(-0.18980075407240762, 0.0, 0.0, 0.0, 0.0, 4.450312892752409, 1.8915178993145003, -5.801203960010585, -0.4226823213237919, -0.1521609496625161, 0.20136540080403034, 0.02265179219836082, 0.0),
+    c=(0.0, 0.05260015195876773, 0.0789002279381516, 0.1183503419072274, 0.2816496580927726, 0.3333333333333333, 0.25, 0.3076923076923077, 0.6512820512820513, 0.6, 0.8571428571428571, 1.0, 1.0),
+    order=8,
+    fsal=True,
+)
+
+
+def select_method(rtol: float) -> str:
+    """The "auto" heuristic: Tsit5 for loose tolerances, Dop853 for tight
+    (the OrdinaryDiffEqDefault non-stiff Tsit5/Vern7 split; see module doc).
+    """
+    return "tsit5" if rtol >= 1.0e-6 else "dop853"
+
+
+def get_tableau(method: str, rtol: float) -> ButcherTableau:
+    """Resolve a SolverOptions.method string ("auto" picks by rtol)."""
+    if method == "auto":
+        method = select_method(rtol)
+    return TABLEAUS[method]
+
+
+
 TABLEAUS = {
     "euler": EULER,
     "midpoint": MIDPOINT,
@@ -171,6 +230,7 @@ TABLEAUS = {
     "bosh3": BOSH3,
     "dopri5": DOPRI5,
     "tsit5": TSIT5,
+    "dop853": DOP853,
 }
 
-__all__ = ["ButcherTableau", "TABLEAUS", "EULER", "MIDPOINT", "RK4", "BOSH3", "DOPRI5", "TSIT5"]
+__all__ = ["ButcherTableau", "TABLEAUS", "EULER", "MIDPOINT", "RK4", "BOSH3", "DOPRI5", "TSIT5", "DOP853", "select_method", "get_tableau"]

@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 
 from ..types import Mode, SolverOptions
-from ..ode.tableaus import TABLEAUS, ButcherTableau
+from ..ode.tableaus import TABLEAUS, ButcherTableau, get_tableau
 
 try:
     from jax.experimental import pallas as pl
@@ -666,8 +666,10 @@ def make_full_solve(
         return None
     if opts.fixed_num_steps is not None:
         return None
-    tab = TABLEAUS[opts.method]
-    if tab.btilde is None or not tab.fsal:
+    tab = get_tableau(opts.method, opts.rtol)
+    if tab.btilde is None or not tab.fsal or tab.btilde3 is not None:
+        # btilde3 methods (dop853) need the stretched error combine, which the
+        # kernel's controller does not implement — XLA path handles them.
         return None
     if mode == Mode.TRAIN:
         from ..types import ADMode
