@@ -57,7 +57,7 @@ def gate_metrics(est: np.ndarray, actual: np.ndarray) -> dict:
 
 def build(config: str, seed: int, epochs: int, lr: float, batch_size: int,
           adjoint: str = "backsolve", aug_noise: float = 0.0,
-          b2: float = 0.99, wd: float = 0.0):
+          b2: float = 0.99, wd: float = 0.0, naug: int = -1):
     import dataclasses as dc
 
     from continuousnf_tpu.types import Adjoint
@@ -67,15 +67,17 @@ def build(config: str, seed: int, epochs: int, lr: float, batch_size: int,
     dist = Beta(2.0, 4.0)
     n = 1024
     if config == "readme":
-        nvars, naug = 1, 1
-        nn = MLP((2, 6, 2))
+        nvars = 1
+        naug = 1 if naug < 0 else naug
         solver = SolverOptions(**README_TOLERANCES)
     elif config == "flagship":
-        nvars, naug = 8, 8
-        nn = MLP((16, 48, 16))
+        nvars = 8
+        naug = 8 if naug < 0 else naug
         solver = SolverOptions()  # OrdinaryDiffEq defaults: rtol 1e-3, atol 1e-6
     else:
         raise ValueError(config)
+    n_in = nvars + naug
+    nn = MLP((n_in, 3 * n_in, n_in))
     solver = dc.replace(solver, adjoint=Adjoint[adjoint.upper()])
     r = dist.sample(data_key, (n, nvars))
     icnf = construct(
@@ -103,6 +105,7 @@ def main() -> None:
     ap.add_argument("--adjoint", default="backsolve", choices=("backsolve", "direct"))
     ap.add_argument("--b2", type=float, default=0.99)  # Lion paper beta2
     ap.add_argument("--wd", type=float, default=0.0)  # Optimisers.Lion has no decay
+    ap.add_argument("--naug", type=int, default=-1)  # -1 = config default
     ap.add_argument(
         "--aug-noise", default=0.0,
         help='TRAIN aug-input noise sigma, or "calibrated" (= (2*pi)^{-1/2})',
@@ -116,7 +119,7 @@ def main() -> None:
 
     icnf, model, r, actual, fit_key, dist = build(
         args.config, args.seed, args.epochs, args.lr, args.batch_size, args.adjoint,
-        args.aug_noise, args.b2, args.wd,
+        args.aug_noise, args.b2, args.wd, args.naug,
     )
 
     score = jax.jit(lambda ps, xs: inference(icnf, Mode.TEST, xs, ps)[0])
@@ -163,6 +166,7 @@ def main() -> None:
         "epochs": result.epochs,
         "lr": args.lr,
         "b2": args.b2,
+        "naug": args.naug,
         "wd": args.wd,
         "adjoint": args.adjoint,
         "aug_noise": args.aug_noise,
