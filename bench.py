@@ -137,7 +137,11 @@ def main():
                 "metric": "train_samples_per_sec_per_chip",
                 "value": round(train_sps, 1),
                 "unit": "samples/s",
-                "vs_baseline": 1.0,
+                # The reference publishes no absolute numbers (BASELINE.md), so
+                # the anchor is this repo's round-1 measurement on the same
+                # chip class (BENCH_r01.json): cross-round trend, not a
+                # reference ratio.
+                "vs_baseline": round(train_sps / 563561.0, 3),
                 "extras": {
                     "logprob_evals_per_sec": round(eval_sps, 1),
                     "batch": batch,

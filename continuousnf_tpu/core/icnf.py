@@ -340,7 +340,6 @@ def inference(
     ys: Optional[jax.Array] = None,
     key: Optional[jax.Array] = None,
     eps: Optional[jax.Array] = None,
-    with_stats: bool = False,
 ):
     """Transport data to the base distribution and return log-density.
 
@@ -427,7 +426,7 @@ def generate(
     z(t1) ~ basedist (default N(0, I_{zdim})), integrate over reversed
     (steered) tspan, keep the
     first `nvars` dims (`:191-211`).  `n=None` returns a single sample
-    (VectorMode parity).
+    (VectorMode parity).  `with_stats=True` returns (samples, SolveStats).
     """
     _check_cond(icnf, ys)
     squeeze = n is None
@@ -457,6 +456,8 @@ def generate(
     samples = state0.z[:, : icnf.nvars]
     if squeeze:
         samples = samples[0]
+    if with_stats:
+        return samples, stats
     return samples
 
 

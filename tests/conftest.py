@@ -13,7 +13,11 @@ os.environ["XLA_FLAGS"] = (
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# CNF_TPU_TESTS=1 leaves the real backend in place so tpu-marked tests (e.g.
+# tests/test_tpu_parity.py) exercise on-device kernel numerics; everything
+# else runs on the virtual CPU mesh.
+if os.environ.get("CNF_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest
 
@@ -25,3 +29,6 @@ def rng_key():
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running regression gates")
+    config.addinivalue_line(
+        "markers", "tpu: requires the real TPU backend (run with CNF_TPU_TESTS=1)"
+    )

@@ -300,3 +300,16 @@ def test_pluggable_epsdist():
     # differ by exactly the (nonzero) true -int tr(J): i.e. NOT equal.
     lp_test, _, _ = cnf.inference(icnf, Mode.TEST, xs, ps)
     assert not np.allclose(np.asarray(logpx), np.asarray(lp_test), atol=1e-3)
+
+
+def test_generate_with_stats():
+    import continuousnf_tpu as cnf
+    from continuousnf_tpu import Mode
+
+    icnf = cnf.construct(cnf.FFJORD, cnf.MLP((2, 4, 2)), 2)
+    ps = icnf.init(jax.random.PRNGKey(0))
+    s, stats = cnf.generate(icnf, Mode.TEST, ps, 8, key=jax.random.PRNGKey(1), with_stats=True)
+    assert s.shape == (8, 2)
+    assert int(stats.nfe) > 0
+    s2 = cnf.generate(icnf, Mode.TEST, ps, 8, key=jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(s), np.asarray(s2))
