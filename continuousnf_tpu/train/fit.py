@@ -239,7 +239,18 @@ def fit(
                 float(ms["loss"][-1])
                 epoch_cost = max((time.perf_counter() - t_call) / cs, 1e-3)
                 chunk = int(max(1, min(max_chunk, TARGET_CALL_S / epoch_cost)))
+            # One scalar readback per chunk: closes the async-dispatch region
+            # so chunk_wall is real work time (block_until_ready is unreliable
+            # on remote-attached runtimes), at the cost of one scalar DMA per
+            # ~15s device call.
+            float(np.asarray(ms["loss"])[-1])
             chunk_wall = time.perf_counter() - t_call
+            # Re-shrink if epochs got slower than at calibration time (e.g. a
+            # diverging model drives the adaptive solver to max_steps, making
+            # each epoch 10-100x more expensive) — unbounded chunk walls can
+            # trip remote-runtime execution watchdogs and kill the worker.
+            if chunk_wall > 4.0 * TARGET_CALL_S and chunk > 1:
+                chunk = max(1, int(chunk * TARGET_CALL_S / chunk_wall))
             epoch_i += cs
             remaining -= cs
             ci += 1
