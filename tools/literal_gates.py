@@ -57,7 +57,7 @@ def gate_metrics(est: np.ndarray, actual: np.ndarray) -> dict:
 
 def build(config: str, seed: int, epochs: int, lr: float, batch_size: int,
           adjoint: str = "backsolve", aug_noise: float = 0.0,
-          b2: float = 0.99, wd: float = 0.0, naug: int = -1):
+          b2: float = 0.99, wd: float = 0.0, naug: int = -1, probes: int = 1):
     import dataclasses as dc
 
     from continuousnf_tpu.types import Adjoint
@@ -80,10 +80,12 @@ def build(config: str, seed: int, epochs: int, lr: float, batch_size: int,
     nn = MLP((n_in, 3 * n_in, n_in))
     solver = dc.replace(solver, adjoint=Adjoint[adjoint.upper()])
     r = dist.sample(data_key, (n, nvars))
+    from continuousnf_tpu.types import VecJacMode
+
     icnf = construct(
         RNODE, nn, nvars, naug,
         tspan=(0.0, 13.0), steer_rate=0.1, lam3=1e-2, solver=solver,
-        aug_noise=aug_noise,
+        aug_noise=aug_noise, compute_mode=VecJacMode(num_probes=probes),
     )
     # Optimisers.jl's Lion rule is decay-free (decay is composed separately
     # via OptimiserChain there); optax.lion silently defaults wd=1e-3, so an
@@ -106,6 +108,7 @@ def main() -> None:
     ap.add_argument("--b2", type=float, default=0.99)  # Lion paper beta2
     ap.add_argument("--wd", type=float, default=0.0)  # Optimisers.Lion has no decay
     ap.add_argument("--naug", type=int, default=-1)  # -1 = config default
+    ap.add_argument("--probes", type=int, default=1)  # Hutchinson probes (ref: 1)
     ap.add_argument(
         "--aug-noise", default=0.0,
         help='TRAIN aug-input noise sigma, or "calibrated" (= (2*pi)^{-1/2})',
@@ -119,7 +122,7 @@ def main() -> None:
 
     icnf, model, r, actual, fit_key, dist = build(
         args.config, args.seed, args.epochs, args.lr, args.batch_size, args.adjoint,
-        args.aug_noise, args.b2, args.wd, args.naug,
+        args.aug_noise, args.b2, args.wd, args.naug, args.probes,
     )
 
     score = jax.jit(lambda ps, xs: inference(icnf, Mode.TEST, xs, ps)[0])
@@ -167,6 +170,7 @@ def main() -> None:
         "lr": args.lr,
         "b2": args.b2,
         "naug": args.naug,
+        "probes": args.probes,
         "wd": args.wd,
         "adjoint": args.adjoint,
         "aug_noise": args.aug_noise,
