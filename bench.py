@@ -117,6 +117,12 @@ def main():
         from continuousnf_tpu import Mode
         from continuousnf_tpu.utils.profiling import roofline_report
 
+        # Measured speed-of-light: the same stage math as a bare XLA scan
+        # (no solver, no controller) — see profiling.roofline_report.
+        from benchmarks.kernel_microbench import stage_chain_time
+
+        sol_s = stage_chain_time(ps, batch, n_in, 3 * n_in, bf16=False, length=256)
+
         @jax.jit
         def fwd(xs, key):
             lp, _, stats = cnf.inference(icnf, Mode.TRAIN, xs, ps, key=key)
@@ -128,7 +134,7 @@ def main():
         dt_total = _time_chain(fwd_step, (xs, 0), iters=8)
         nfe = int(fwd(xs, key)[1])
         dt_k = dt_total / max(nfe, 1)
-        roofline = roofline_report(dt_k, batch, n_in, 3 * n_in)
+        roofline = roofline_report(dt_k, batch, n_in, 3 * n_in, measured_sol_s=sol_s)
         roofline = {k: (round(v, 3) if isinstance(v, float) else v) for k, v in roofline.items()}
 
     print(
