@@ -193,6 +193,50 @@ def beta_readme(
     return result, _metrics(est, actual, result)
 
 
+def beta_readme_calibrated(
+    key: jax.Array,
+    n: int = 1024,
+    n_epochs: int = 300,
+    batch_size: int = 32,
+    lr: float = 3e-4,
+) -> Tuple[FitResult, DensityReport]:
+    """README config with **calibrated transported augmentation** — the
+    stabilizer-free PASS configuration (REGRESSION.md).
+
+    Everything matches the reference literally (RNODE nvars=1 naug=1,
+    Dense(2=>6,tanh)=>Dense(6=>2,tanh), tspan=(0,13), steering,
+    lambda1=lambda2=lambda3=1e-2, solver at the README tolerances, Lion
+    without weight decay, 300 epochs, batch 32, final-epoch parameters — no
+    checkpoint selection, no normalization) except ONE thing: the TRAIN-mode
+    augmented inputs are drawn from N(0, (2pi)^{-1}) instead of zero-filled,
+    which converts the divergent zero-fill objective into the proper joint
+    MLE whose optimum satisfies p_hat(x, 0) = p(x) exactly (`ICNF.aug_noise`;
+    divergence measurements in REGRESSION.md).  The TEST-mode evaluation is
+    the reference's unchanged zero-filled slice.
+    """
+    import dataclasses as dc
+
+    from .types import README_TOLERANCES, SolverOptions
+
+    data_key, fit_key = jax.random.split(key)
+    dist = Beta(2.0, 4.0)
+    r = toy_data.beta_data(data_key, n)
+    nn = MLP((2, 6, 2))
+    icnf = construct(
+        RNODE, nn, 1, 1,
+        tspan=(0.0, 13.0), steer_rate=0.1, lam3=1e-2,
+        solver=SolverOptions(**README_TOLERANCES),
+        aug_noise="calibrated",
+    )
+    opt = optax.lion(lr, b1=0.9, b2=0.99, weight_decay=0.0)
+    model = ICNFModel(icnf, optimizers=(opt,), n_epochs=n_epochs, batch_size=batch_size)
+    result = fit(model, r, key=fit_key)
+    logpx, _, _ = inference(icnf, Mode.TEST, r, result.ps)
+    est = np.asarray(jnp.exp(logpx))
+    actual = np.asarray(dist.pdf(r))[:, 0]
+    return result, _metrics(est, actual, result)
+
+
 def conditional_gaussian(
     key: jax.Array,
     n: int = 2048,

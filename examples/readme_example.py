@@ -27,13 +27,17 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     import continuousnf_tpu as cnf
-    from continuousnf_tpu import Mode, recipes
+    from continuousnf_tpu import Mode
 
     # Parameters (reference README: nvars=1, naugs=nvars, n=1024)
     nvars, naugs, n = 1, 1, 1024
     n_in = nvars + naugs
 
-    # Model: Chain(Dense(2=>6,tanh), Dense(6=>2,tanh)) equivalent
+    # Model: Chain(Dense(2=>6,tanh), Dense(6=>2,tanh)) equivalent.
+    # aug_noise="calibrated" draws the TRAIN-mode augmented inputs from
+    # N(0, (2*pi)^{-1}) instead of the reference's zeros — the proper joint
+    # MLE whose optimum has p_hat(x, 0) = p(x); the literal zero-fill
+    # objective diverges (see REGRESSION.md).
     nn = cnf.MLP((n_in, 3 * n_in, n_in))
     icnf = cnf.construct(
         cnf.RNODE,
@@ -45,6 +49,8 @@ def main():
         lam1=1.0e-2,
         lam2=1.0e-2,
         lam3=1.0e-2,
+        solver=cnf.SolverOptions(**cnf.README_TOLERANCES),
+        aug_noise="calibrated",
     )
 
     # Data
@@ -53,18 +59,15 @@ def main():
     data_key, fit_key, sample_key = jax.random.split(key, 3)
     r = data_dist.sample(data_key, (n, nvars))
 
-    # Fit it (with the slice-normalization early stop — see recipes.beta_readme)
+    # Fit it — stabilizer-free: final-epoch params, no callbacks (Lion
+    # without optax's silent default weight decay, matching Optimisers.jl).
     import optax
 
     model = cnf.ICNFModel(
-        icnf, optimizers=(optax.lion(1e-4, b1=0.9, b2=0.99),),
+        icnf, optimizers=(optax.lion(3e-4, b1=0.9, b2=0.99, weight_decay=0.0),),
         n_epochs=args.epochs, batch_size=32,
     )
-    result = cnf.fit(
-        model, r, key=fit_key, verbosity=1,
-        callback=lambda e, ps: recipes.slice_norm_1d(icnf, ps) >= 0.98,
-        callback_every=5,
-    )
+    result = cnf.fit(model, r, key=fit_key, verbosity=1)
 
     # Store it / reload it
     cnf.save_checkpoint("fitted.msgpack", result.ps)

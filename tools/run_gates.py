@@ -1,8 +1,16 @@
 """Run the density-quality gates and write REGRESSION.md.
 
 Usage: python tools/run_gates.py [--fast] [--cpu]
+
+Gated rows retrain from scratch each run; the measured-divergence evidence
+tables render from the committed experiment logs (experiments/logs/*.jsonl,
+produced by tools/literal_gates.py — commands recorded in
+experiments/sweep_r2*.sh).
 """
 import argparse
+import glob
+import json
+import os
 import sys
 import time
 
@@ -10,6 +18,32 @@ import jax
 import numpy as np
 
 sys.path.insert(0, ".")
+
+
+def _summaries():
+    out = {}
+    for path in sorted(glob.glob("experiments/logs/*.jsonl")):
+        name = os.path.basename(path)[:-6]
+        try:
+            lines = open(path).read().splitlines()
+        except OSError:
+            continue
+        for line in lines:
+            if line.startswith("SUMMARY "):
+                out[name] = json.loads(line[8:])
+    return out
+
+
+def _row(name: str, s: dict) -> str:
+    f = s.get("final") or {}
+    mad = f.get("mad")
+    if mad is None:
+        return f"| {name} | — | — | — | (no final eval) |"
+    verdict = "PASS" if s.get("passes") else "FAIL"
+    return (
+        f"| {name} | lr={s['lr']:g} aug_noise={s.get('aug_noise', 0):.3g} "
+        f"ep={s['epochs']} | {f['mad']:.4g} | {f['tv']:.4g} | {verdict} |"
+    )
 
 
 def main():
@@ -46,18 +80,22 @@ def main():
         print(lines[-3])
         print(lines[-2], flush=True)
 
+    _, rep = recipes.beta_readme_calibrated(key, n_epochs=100 if args.fast else 300)
+    record(
+        "Beta(2,4) README config, naug=1 TRANSPORTED augmentation, calibrated "
+        "aug-input noise (stabilizer-free: final params, no normalization, no "
+        "checkpoint selection; Lion 3e-4 wd=0)",
+        rep,
+    )
+
     _, rep = recipes.beta_unaugmented(key, n_epochs=200 if args.fast else 800)
     record("Beta(2,4) 1D, RNODE naug=0", rep)
 
     _, rep2 = recipes.beta_readme(key, max_epochs=100 if args.fast else 300, stabilize=True)
-    record("Beta(2,4) README config, naug=1 passive augmentation (stabilized)", rep2)
-
-    _, rep3 = recipes.beta_readme(key, max_epochs=100 if args.fast else 300, stabilize=False)
     record(
-        "Beta(2,4) README config, naug=1 literal transported augmentation "
-        "(degenerate objective; grid-normalized best checkpoint — reported, not gated)",
-        rep3,
-        gated=False,
+        "Beta(2,4) README config, naug=1 passive augmentation (alternative "
+        "well-posed formulation, kept for comparison)",
+        rep2,
     )
 
     _, rep4 = recipes.conditional_gaussian(key, n_epochs=100 if args.fast else 400)
@@ -69,17 +107,97 @@ def main():
         lines.append("")
         print(lines[-2], flush=True)
 
-    lines.append(
-        "Notes: the literal transported-augmentation objective is unbounded "
-        "(the augmented conditional concentrates without limit; the lambda "
-        "regularizers add only a linear cost in log-concentration), so its "
-        "slice estimate is reported with normalization + checkpoint selection "
-        "but not gated — see `continuousnf_tpu/recipes.py` for the analysis. "
-        "The reference's own regression comparison is shape-inconsistent "
-        "(1024-vector vs 8x1024 matrix, `test/regression_tests.jl:40-44`)."
-    )
-    lines.append("")
-    lines.append(f"Total wall time: {time.time()-t0:.0f}s")
+    # ---- measured evidence: the literal zero-fill objective diverges ----
+    sums = _summaries()
+    lines += [
+        "## The literal zero-filled augmentation objective diverges (measured)",
+        "",
+        "The reference zero-fills augmented TRAIN inputs "
+        "(`/root/reference/src/base_icnf.jl:230-236`), making max E[log p̂(x,0)] "
+        "unbounded: the model concentrates the augmented conditional without "
+        "limit (the λ-regularizers add only a linear cost in log-concentration). "
+        "Measured with exactly matched hyperparameters (Lion wd=0, 300 epochs, "
+        "batch 32; `tools/literal_gates.py`), tracking the slice mass "
+        "Z = ∫p̂(x,0)dx (a calibrated estimate has Z=1):",
+        "",
+        "| run | config | final mad | final tv | gate |",
+        "|---|---|---|---|---|",
+    ]
+    evidence = [
+        ("readme literal, Lion 1e-3", "readme_lr1e3_b299"),
+        ("readme literal, Lion 1e-4", "readme_lr1e4_b299"),
+        ("readme calibrated, Lion 1e-3 (seed 1)", "readme_cal_lr1e3"),
+        ("readme calibrated, Lion 3e-4 (seed 1)", "readme_cal_lr3e4_s1"),
+        ("flagship 8-D literal, Lion 1e-3", "flagship_lr1e3"),
+        ("flagship 8-D calibrated, Lion 1e-4", "flagship_cal_lr1e4"),
+        ("flagship 8-D calibrated, Lion 3e-4, 3000 ep", "flagship_cal_long"),
+        ("flagship 8-D naug=0 (no augmentation at all)", "flagship_noaug"),
+    ]
+    for label, k in evidence:
+        if k in sums:
+            lines.append(_row(label, sums[k]))
+    lines += [
+        "",
+        "Slice-mass trajectories (full per-epoch logs in `experiments/logs/`): "
+        "literal readme Z reaches ~30-60 (lr 1e-3) and ~100-700 (lr 1e-4) by "
+        "epoch 300; literal flagship Z reaches ~6e14 before NaN.  The SAME "
+        "runs with calibrated transported augmentation (the one-line proper-"
+        "MLE completion: TRAIN aug inputs ~ N(0, (2π)^{-1}) instead of zeros, "
+        "`ICNF.aug_noise`) hold Z ≈ 1 throughout — a controlled confirmation "
+        "that zero-filling, not transport, is the divergent ingredient.",
+        "",
+        "## Why the reference's own 8-D gate cannot execute",
+        "",
+        "`test/regression_tests.jl:39-44` compares `estimated_pdf = "
+        "Distributions.pdf(d, r)` — a length-1024 vector of joint densities — "
+        "against `actual_pdf = Distributions.pdf.(data_dist, r)`, the 8×1024 "
+        "matrix of per-dimension Beta pdfs.  `Distances.meanad` requires equal "
+        "lengths (its `_evaluate` throws `DimensionMismatch` for 1024 vs 8192; "
+        "Julia's `Pkg.test` runs `--check-bounds=yes`, so the `@boundscheck` is "
+        "always active).  The comparison is only shape-consistent at nvars=1 — "
+        "the README configuration gated above.",
+        "",
+        "## The well-posed 8-D joint gate is scale-broken at 0.1 absolute",
+        "",
+        "The corrected comparison (joint model density vs ∏ᵢ Beta pdf, both "
+        "length-1024) has E[∏ᵢ pᵢ(xᵢ)] = (∫Beta(2,4)²)⁸ = 1.5873⁸ ≈ 40.6, so "
+        "mad ≤ 0.1 demands 0.25% pointwise accuracy.  At the reference's own "
+        "effective solver tolerance (rtol=1e-3: its tests pass no sol_kwargs) "
+        "the solver-error floor alone is ≈ 40·1e-3 ≈ 0.04 — the gate leaves "
+        "~2.5× the numerical noise floor for ALL statistical error.  Measured: "
+        "the un-augmented 8-D model (a fully proper objective) reaches mad "
+        "30.7 in the literal 300-epoch budget and the calibrated model mad "
+        "18.7 at 10× that budget (rows above) — the gap to 0.1 is a property "
+        "of the task scale, not of this implementation.",
+        "",
+        "## Seed robustness (readme calibrated, 300 epochs)",
+        "",
+        "| seed | lr | final mad | passes |",
+        "|---|---|---|---|",
+    ]
+    for label, k in [
+        ("1", "readme_cal_lr3e4_s1"), ("2", "readme_cal_lr3e4_s2"),
+        ("3", "readme_cal_lr3e4_s3"), ("1", "readme_cal_lr1e3"),
+        ("2", "readme_cal_s2"), ("3", "readme_cal_s3"),
+    ]:
+        if k in sums:
+            s = sums[k]
+            f = s.get("final") or {}
+            lines.append(
+                f"| {label} | {s['lr']:g} | {f.get('mad', float('nan')):.4g} | "
+                f"{'yes' if s.get('passes') else 'no'} |"
+            )
+    lines += [
+        "",
+        "The gate is a fixed-seed CI test in the reference (StableRNG(1)); the "
+        "gated row above uses the fixed framework seed and passes.  Across "
+        "seeds, 300 epochs of decay-free Lion sits at its sign-update noise "
+        "floor (mad oscillates ±0.05 around ~0.1); longer budgets at the same "
+        "hyperparameters converge (e.g. seed 2 best 0.066 at 686/800 epochs — "
+        "`experiments/logs/readme_cal_3e4_800_s2.jsonl`).",
+        "",
+        f"Total wall time: {time.time()-t0:.0f}s",
+    ]
     with open("REGRESSION.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote REGRESSION.md; overall:", "PASS" if ok else "FAIL")
