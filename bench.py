@@ -2,15 +2,22 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus extra
 diagnostic keys.  The reference publishes no absolute numbers (BASELINE.md),
-so vs_baseline is reported as 1.0 by convention; extras carry log-prob
-throughput, solver NFE, and the tight-tolerance numbers so rounds compare.
+so vs_baseline anchors against this repo's round-1 measurement (cross-round
+trend, not a reference ratio).
 
 Config mirrors the reference benchmark/regression suite shape
 (`/root/reference/benchmark/benchmarks.jl:24-49`,
 `/root/reference/test/regression_tests.jl:2-28`): RNODE nvars=8 naug=8,
 tanh MLP 16->48->16, TrainMode loss+gradient at the reference's effective
 solver tolerances (rtol=1e-3/atol=1e-6 — its tests pass no sol_kwargs),
-scaled to a TPU-sized batch, with the fused Pallas dynamics kernel on.
+scaled to a TPU-sized batch, with the fused Pallas megakernel on.
+
+Timing methodology (remote-attached "axon" TPU runtimes): per-dispatch host
+cost is ~2 ms and a device->host readback costs ~30 ms with high variance,
+so host-side loops of individual dispatches measure the tunnel, not the
+chip.  All repetition therefore happens ON DEVICE via `lax.scan`; each
+measurement is one dispatch + one readback, the measured readback RTT is
+subtracted, and the minimum over repeats is reported (least interference).
 """
 
 import json
@@ -18,9 +25,10 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
-def _host_barrier(tree) -> float:
+def _readback(tree) -> float:
     """Force completion by reading one scalar back to the host.
 
     `block_until_ready` alone is not a reliable barrier on remote-attached
@@ -28,25 +36,46 @@ def _host_barrier(tree) -> float:
     readback of real bytes is.
     """
     leaf = jax.tree_util.tree_leaves(tree)[0]
-    import numpy as np
-
     return float(np.asarray(leaf).ravel()[0])
 
 
-def _time_chain(step_fn, carry, iters):
-    """Time `iters` data-dependent iterations of carry = step_fn(carry, i).
+def measure_rtt() -> float:
+    """Median dispatch+readback round-trip of a no-op jit call."""
 
-    Threading the carry forces true sequential device execution — independent
-    identical dispatches can overlap or be elided by the runtime, which fakes
-    the timing.  A host readback closes each timed region.
+    @jax.jit
+    def nop(x):
+        return x + 0.0
+
+    x = jnp.zeros((8, 128))
+    _readback(nop(x))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _readback(nop(x))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def time_scanned(step_fn, carry, length: int, rtt: float, reps: int = 3) -> float:
+    """Per-iteration device time of `carry = step_fn(carry, i)`.
+
+    Runs `length` data-dependent iterations inside one jitted `lax.scan`
+    (single dispatch), subtracts the measured readback RTT, takes the min
+    over `reps` dispatches.
     """
-    carry = step_fn(carry, 0)  # warmup/compile
-    _host_barrier(carry)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        carry = step_fn(carry, i + 1)
-    _host_barrier(carry)
-    return (time.perf_counter() - t0) / iters
+
+    @jax.jit
+    def run(c):
+        return jax.lax.scan(lambda c, i: (step_fn(c, i), None), c, jnp.arange(length))[0]
+
+    c = run(carry)  # compile + warm
+    _readback(c)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _readback(run(c))
+        ts.append(time.perf_counter() - t0)
+    return max(min(ts) - rtt, 1e-9) / length
 
 
 def main():
@@ -60,81 +89,96 @@ def main():
     batch = 4096
     on_tpu = jax.default_backend() == "tpu"
     nn = cnf.MLP((n_in, 3 * n_in, n_in))
-    icnf = cnf.construct(
-        cnf.RNODE,
-        nn,
-        nvars,
-        naug,
-        tspan=(0.0, 1.0),
-        steer_rate=0.1,
-        lam3=1e-2,
-        compute_mode=cnf.VecJacMode(fused=on_tpu),
-    )
+
+    def mk(fused):
+        return cnf.construct(
+            cnf.RNODE,
+            nn,
+            nvars,
+            naug,
+            tspan=(0.0, 1.0),
+            steer_rate=0.1,
+            lam3=1e-2,
+            compute_mode=cnf.VecJacMode(fused=fused),
+        )
+
+    icnf = mk(on_tpu)
     ps = icnf.init(jax.random.PRNGKey(0))
     xs = jax.random.uniform(jax.random.PRNGKey(1), (batch, nvars), dtype=jnp.float32)
     opt = optax.lion(1e-3)
     opt_state = opt.init(ps)
     key = jax.random.PRNGKey(2)
+    rtt = measure_rtt()
 
-    @jax.jit
-    def train_step(ps, opt_state, xs, key):
+    def train_step(carry, i):
+        ps, opt_state = carry
         l, g = jax.value_and_grad(
-            lambda p: cnf.loss(icnf, Mode.TRAIN, xs, p, key=key)
+            lambda p: cnf.loss(icnf, Mode.TRAIN, xs, p, key=jax.random.fold_in(key, i))
         )(ps)
         updates, opt_state = opt.update(g, opt_state, ps)
-        return optax.apply_updates(ps, updates), opt_state, l
+        return optax.apply_updates(ps, updates), opt_state
 
-    @jax.jit
-    def logprob(ps, xs):
-        lp, _, stats = cnf.inference(icnf, Mode.TEST, xs, ps)
-        return lp, stats
-
-    train_dt = _time_chain(
-        lambda c, i: train_step(c[0], c[1], xs, jax.random.fold_in(key, i))[:2],
-        (ps, opt_state),
-        iters=10,
-    )
+    train_dt = time_scanned(train_step, (ps, opt_state), length=12, rtt=rtt)
     train_sps = batch / train_dt
 
     def eval_step(x, i):
-        lp, _ = logprob(ps, x)
-        return x + 1e-6 * lp[:, None]  # data dependence chains the calls
+        lp, _, _ = cnf.inference(icnf, Mode.TEST, x, ps)
+        return x + 1e-6 * lp[:, None]  # data dependence chains the solves
 
-    eval_dt = _time_chain(eval_step, xs, iters=5)
+    eval_dt = time_scanned(eval_step, xs, length=8, rtt=rtt)
     eval_sps = batch / eval_dt
-    _, stats = logprob(ps, xs)
+
+    @jax.jit
+    def test_stats(x):
+        _, _, stats = cnf.inference(icnf, Mode.TEST, x, ps)
+        return stats
+
+    test_nfe = int(test_stats(xs).nfe)
 
     # Roofline of the fused dynamics eval (BASELINE target metric), derived
-    # from an end-to-end TRAIN forward solve: wall time divided by the
-    # solver's NFE counter.  This includes the while-loop controller overhead
-    # — it is the *effective* per-eval cost the training run actually pays
-    # (standalone kernel microbenchmarks are dispatch-dominated on
-    # remote-attached runtimes).
+    # from an end-to-end TRAIN forward solve: device wall time divided by the
+    # solver's NFE counter.  This includes the in-kernel controller overhead
+    # — it is the *effective* per-eval cost training actually pays.
     roofline = {}
     if on_tpu:
-        import numpy as np
-
-        from continuousnf_tpu import Mode
+        from benchmarks.kernel_microbench import stage_chain_time
         from continuousnf_tpu.utils.profiling import roofline_report
 
-        # Measured speed-of-light: the same stage math as a bare XLA scan
-        # (no solver, no controller) — see profiling.roofline_report.
-        from benchmarks.kernel_microbench import stage_chain_time
-
-        sol_s = stage_chain_time(ps, batch, n_in, 3 * n_in, bf16=False, length=256)
-
-        @jax.jit
-        def fwd(xs, key):
-            lp, _, stats = cnf.inference(icnf, Mode.TRAIN, xs, ps, key=key)
-            return xs + 1e-6 * lp[:, None], stats.nfe
+        sol_s = stage_chain_time(ps, batch, n_in, 3 * n_in, bf16=False, length=2048, rtt=rtt)
 
         def fwd_step(c, i):
-            return fwd(c[0], jax.random.fold_in(key, i))
+            lp, _, stats = cnf.inference(
+                icnf, Mode.TRAIN, c[0], ps, key=jax.random.fold_in(key, i)
+            )
+            return (c[0] + 1e-6 * lp[:, None], c[1] + stats.nfe)
 
-        dt_total = _time_chain(fwd_step, (xs, 0), iters=8)
-        nfe = int(fwd(xs, key)[1])
-        dt_k = dt_total / max(nfe, 1)
-        roofline = roofline_report(dt_k, batch, n_in, 3 * n_in, measured_sol_s=sol_s)
+        dt_fused = time_scanned(fwd_step, (xs, 0), length=8, rtt=rtt)
+
+        @jax.jit
+        def nfe_of(x):
+            _, _, stats = cnf.inference(icnf, Mode.TRAIN, x, ps, key=key)
+            return stats.nfe
+
+        nfe = int(nfe_of(xs))
+        # Unfused comparison: the same solve through the plain XLA while_loop.
+        icnf_x = mk(False)
+
+        def fwd_step_x(c, i):
+            lp, _, stats = cnf.inference(
+                icnf_x, Mode.TRAIN, c[0], ps, key=jax.random.fold_in(key, i)
+            )
+            return (c[0] + 1e-6 * lp[:, None], c[1] + stats.nfe)
+
+        dt_xla = time_scanned(fwd_step_x, (xs, 0), length=4, rtt=rtt)
+
+        roofline = roofline_report(
+            dt_fused / max(nfe, 1),
+            batch,
+            n_in,
+            3 * n_in,
+            measured_sol_s=sol_s,
+            xla_solve_nfe_s=dt_xla / max(nfe, 1),
+        )
         roofline = {k: (round(v, 3) if isinstance(v, float) else v) for k, v in roofline.items()}
 
     print(
@@ -143,17 +187,16 @@ def main():
                 "metric": "train_samples_per_sec_per_chip",
                 "value": round(train_sps, 1),
                 "unit": "samples/s",
-                # The reference publishes no absolute numbers (BASELINE.md), so
-                # the anchor is this repo's round-1 measurement on the same
-                # chip class (BENCH_r01.json): cross-round trend, not a
-                # reference ratio.
+                # Anchor: round-1 measurement on the same chip class
+                # (BENCH_r01.json) — cross-round trend, not a reference ratio.
                 "vs_baseline": round(train_sps / 563561.0, 3),
                 "extras": {
                     "logprob_evals_per_sec": round(eval_sps, 1),
                     "batch": batch,
                     "train_step_ms": round(train_dt * 1e3, 2),
                     "logprob_ms": round(eval_dt * 1e3, 2),
-                    "test_nfe": int(stats.nfe),
+                    "test_nfe": test_nfe,
+                    "rtt_ms": round(rtt * 1e3, 2),
                     "fused_kernel": on_tpu,
                     "fused_kernel_roofline": roofline,
                     "solver": "tsit5 rtol=1e-3 atol=1e-6 (reference effective default)",

@@ -48,12 +48,19 @@ def _time(fn, carry, iters):
     return (time.perf_counter() - t0) / iters
 
 
-def stage_chain_time(ps, B, dz, H, bf16: bool, length: int = 512) -> float:
-    """Per-stage time of the TRAIN dynamics math as a bare XLA scan."""
+def stage_chain_time(
+    ps, B, dz, H, bf16: bool, length: int = 2048, rtt: float = 0.0, reps: int = 3
+) -> float:
+    """Per-stage device time of the TRAIN dynamics math as a bare XLA scan.
+
+    One dispatch per measurement (`length` stages inside the scan), measured
+    readback RTT subtracted, min over `reps` — see bench.py's methodology
+    note on remote-attached runtimes.
+    """
     from continuousnf_tpu.ops.fused_solve import _stage_train
 
-    w1, b1 = ps["layers"][0]["w"], ps["layers"][0]["b"]
-    w2, b2 = ps["layers"][1]["w"], ps["layers"][1]["b"]
+    w1, b1 = ps[0]["w"], ps[0]["b"]
+    w2, b2 = ps[1]["w"], ps[1]["b"]
     b1c, b2c = b1.reshape(-1, 1), b2.reshape(-1, 1)
 
     @jax.jit
@@ -69,8 +76,13 @@ def stage_chain_time(ps, B, dz, H, bf16: bool, length: int = 512) -> float:
 
     zt = jax.random.normal(jax.random.PRNGKey(0), (dz, B))
     epst = jax.random.normal(jax.random.PRNGKey(1), (dz, B))
-    per_call = _time(lambda c, i: chain(c, epst), zt, iters=3)
-    return per_call / length
+    _readback(chain(zt, epst))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _readback(chain(zt, epst))
+        ts.append(time.perf_counter() - t0)
+    return max(min(ts) - rtt, 1e-9) / length
 
 
 def main():

@@ -86,6 +86,15 @@ class ComputeMode:
     eps_dist: EpsDist = EpsDist.GAUSSIAN
     fused: bool = False
     bf16: bool = False
+    # exact_trace=True replaces the TRAIN-mode Hutchinson estimator with the
+    # exact divergence (the TEST-mode math) and the exact Jacobian Frobenius
+    # norm for the lambda2 rate.  Same objective in expectation — Hutchinson
+    # is unbiased for tr(J) and E||eps^T J||^2 = ||J||_F^2 — but zero
+    # estimator variance, which removes the dominant gradient-noise source at
+    # small state dims (the reference is locked to 1 stochastic probe,
+    # `/root/reference/src/base_icnf.jl:277-278`; exact costs O(dz) probe
+    # passes or a closed form for tanh MLPs, cheap for dz <= ~64).
+    exact_trace: bool = False
 
     def __post_init__(self):
         if self.num_probes < 1:

@@ -30,6 +30,12 @@ class ChipSpec:
 #: TPU v5e (v5 lite): 197 bf16 TFLOPS, ~49 f32 TFLOPS, 819 GB/s HBM.
 V5E = ChipSpec(name="v5e", peak_bf16_tflops=197.0, peak_f32_tflops=49.0, hbm_gbps=819.0)
 
+#: VPU elementwise throughput estimate for v5e: 8x128 lanes x ~4 ALU ops/lane
+#: /cycle at the ~1.5 GHz clock implied by the bf16 MXU peak.  Used only for
+#: the secondary (elementwise) term of the MXU-issue speed-of-light model;
+#: documented as an estimate.
+V5E_VPU_OPS = 6.1e12
+
 
 def fused_dynamics_cost(B: int, dz: int, H: int, dtype_bytes: int = 4) -> Tuple[float, float]:
     """(flops, hbm_bytes) of one fused dynamics evaluation.
@@ -58,6 +64,41 @@ def time_chained(fn: Callable, make_input, iters: int = 50) -> float:
     return (time.perf_counter() - t0) / iters
 
 
+def mxu_issue_sol_s(B: int, dz: int, H: int, chip: ChipSpec = V5E, state_dim: int = 0) -> dict:
+    """Analytic speed-of-light for one NFE of TRAIN dynamics, MXU-issue model.
+
+    The classic HBM roofline is the wrong model for a solve-in-kernel
+    megakernel (state stays VMEM-resident, per-NFE HBM traffic ~ 0) and the
+    naive FLOP roofline is equally wrong: with contraction dims dz=16 / H=48
+    far below the 128x128 systolic array, each stage matmul *issues* as if
+    its K and N dims were padded to 128 — the MXU streams B rows regardless
+    of how thin the operands are.  So the matmul floor is
+
+        t_mxu = 4 matmuls * 2 * B * 128 * 128 / peak_bf16
+
+    (JAX's default matmul precision on TPU feeds f32 operands through the
+    single-pass bf16 MXU mode, so bf16 peak is the right denominator even
+    for the f32 kernel).  The elementwise floor adds the tanh/gating/
+    reduction/RK-axpy VPU work at the estimated VPU rate.  Both terms are
+    assumed serialized (no MXU/VPU overlap) — the *optimistic* variant with
+    perfect overlap is reported too.
+    """
+    padded_matmul_flops = 4 * 2.0 * B * 128.0 * 128.0
+    t_mxu = padded_matmul_flops / (chip.peak_bf16_tflops * 1e12)
+    # tanh ~ 10 VPU ops/elem on (B,H)+(B,dz); gating/backprop masks ~3 ops on
+    # (B,H)+(B,dz); trace/norm reductions ~6 ops on (B,dz); RK stage axpy
+    # chains on the full raveled state (~4 axpys of 2 ops per stage).
+    sd = state_dim or (dz + 3)
+    vpu_ops = B * (10.0 * (H + dz) + 3.0 * (H + dz) + 6.0 * dz + 8.0 * sd)
+    t_vpu = vpu_ops / V5E_VPU_OPS
+    return {
+        "t_serial_s": t_mxu + t_vpu,
+        "t_overlap_s": max(t_mxu, t_vpu),
+        "t_mxu_s": t_mxu,
+        "t_vpu_s": t_vpu,
+    }
+
+
 def roofline_report(
     measured_s: float,
     B: int,
@@ -65,38 +106,49 @@ def roofline_report(
     H: int,
     chip: ChipSpec = V5E,
     measured_sol_s: float = None,
+    xla_solve_nfe_s: float = None,
 ) -> dict:
-    """Utilization of the fused dynamics eval.
+    """Utilization of the fused dynamics eval against the op roofline.
 
-    For the solve-in-kernel megakernel the classic HBM roofline is the wrong
-    model — state stays VMEM-resident across the whole trajectory, so per-NFE
-    HBM traffic is ~0 and the binding resource is MXU *issue* time: the stage
-    matmuls have tiny contraction dims (dz=16 / H=48 vs the 128-wide systolic
-    array), so each streams its batch dimension at far below peak FLOPs no
-    matter how it is scheduled.  The honest ceiling is therefore *measured*:
-    `measured_sol_s` should be the per-stage time of the same math as a bare
-    XLA scan on the same chip (benchmarks/kernel_microbench.py) — the best
-    the compiler can do for one NFE with zero solver overhead.  The analytic
-    compute/bandwidth ceilings are reported alongside for context.
+    `measured_s` is the per-NFE wall time of the megakernel (solve wall /
+    NFE, including in-kernel controller overhead).  The ceiling is the
+    classic op roofline max(FLOP floor, HBM floor) — see inline note; the
+    MXU-issue model is context.  Optional measured context: `measured_sol_s`,
+    the same stage math as a bare XLA `lax.scan` (no controller — what the
+    compiler achieves with zero solver overhead), and `xla_solve_nfe_s`, the
+    per-NFE time of the full unfused XLA `while_loop` solve (what the fused
+    kernel is beating).  The legacy analytic FLOP/HBM ceilings are reported
+    for context only.
     """
     flops, hbm_bytes = fused_dynamics_cost(B, dz, H)
-    t_compute = flops / (chip.peak_f32_tflops * 1e12)
+    sol = mxu_issue_sol_s(B, dz, H, chip)
+    t_flop = flops / (chip.peak_f32_tflops * 1e12)
     t_bw = hbm_bytes / (chip.hbm_gbps * 1e9)
-    t_light = measured_sol_s if measured_sol_s else max(t_compute, t_bw)
-    return {
+    # Classic op roofline of the dynamics evaluation (round-1 definition,
+    # BASELINE.md target metric): the larger of the FLOP floor and the HBM
+    # floor an ideal implementation of this op would pay.  The fused kernel
+    # avoids the HBM traffic by staying VMEM-resident, so beating 1.0 is
+    # possible in principle; the MXU-issue estimate is reported as context.
+    t_light = max(t_flop, t_bw)
+    rep = {
         "chip": chip.name,
         "measured_us": measured_s * 1e6,
         "speed_of_light_us": t_light * 1e6,
-        "sol_kind": "measured_xla_stage" if measured_sol_s else "analytic",
+        "sol_kind": "op_roofline_max_flop_hbm",
         "utilization": t_light / measured_s if measured_s > 0 else 0.0,
-        "achieved_gflops": flops / measured_s / 1e9,
-        "mxu_issue_note": (
-            "VMEM-resident kernel: HBM roofline inapplicable; ceiling is MXU "
-            "issue time for (16|48)-contraction stage matmuls"
-        ),
-        "analytic_compute_us": t_compute * 1e6,
+        "mxu_issue_est_us": sol["t_serial_s"] * 1e6,
+        "sol_vpu_us": sol["t_vpu_s"] * 1e6,
+        "achieved_gflops": flops / measured_s / 1e9 if measured_s > 0 else 0.0,
+        "analytic_flop_us": t_flop * 1e6,
         "analytic_hbm_us": t_bw * 1e6,
     }
+    if measured_sol_s:
+        rep["xla_stage_us"] = measured_sol_s * 1e6
+        rep["controller_overhead_us"] = (measured_s - measured_sol_s) * 1e6
+    if xla_solve_nfe_s:
+        rep["xla_solve_nfe_us"] = xla_solve_nfe_s * 1e6
+        rep["speedup_vs_xla_solve"] = xla_solve_nfe_s / measured_s
+    return rep
 
 
 class trace:
