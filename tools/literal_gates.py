@@ -44,20 +44,37 @@ from continuousnf_tpu.train.fit import ICNFModel, fit
 from continuousnf_tpu.types import Mode, README_TOLERANCES, SolverOptions
 
 
-def gate_metrics(est: np.ndarray, actual: np.ndarray) -> dict:
+def gate_metrics(est: np.ndarray, actual: np.ndarray, nvars: int = 1) -> dict:
     """The reference's Distances triple (`test/regression_tests.jl:42-44`):
-    meanad, msd, totalvariation/n."""
+    meanad, msd, totalvariation/n — plus the scale-consistent companions used
+    for multi-dimensional configs (see docs/FLAGSHIP_GATE.md):
+
+    * ``tv_norm``  — total variation between the *sample-normalized* masses
+      0.5·Σ|e/Σe − a/Σa| (dimensionless, the standard discrete TV).
+    * ``log_mad``  — mean |log ê − log p| (joint relative error in nats).
+    * ``log_mad_perdim`` — log_mad / nvars, directly comparable across
+      dimensions (the 1-D README PASS sits at ≈0.03-0.06).
+    * ``mad_rel``  — mad / mean(actual), the gate triple in units of the
+      mean analytic density.
+    """
     diff = est - actual
+    e, a = est / max(est.sum(), 1e-30), actual / actual.sum()
+    log_err = np.abs(np.log(np.clip(est, 1e-30, None)) - np.log(actual))
     return {
         "mad": float(np.mean(np.abs(diff))),
         "msd": float(np.mean(diff**2)),
         "tv": float(np.sum(np.abs(diff)) / 2.0 / len(est)),
+        "tv_norm": float(0.5 * np.sum(np.abs(e - a))),
+        "log_mad": float(np.mean(log_err)),
+        "log_mad_perdim": float(np.mean(log_err) / nvars),
+        "mad_rel": float(np.mean(np.abs(diff)) / np.mean(actual)),
     }
 
 
 def build(config: str, seed: int, epochs: int, lr: float, batch_size: int,
           adjoint: str = "backsolve", aug_noise: float = 0.0,
-          b2: float = 0.99, wd: float = 0.0, naug: int = -1, probes: int = 1):
+          b2: float = 0.99, wd: float = 0.0, naug: int = -1, probes: int = 1,
+          schedule: str = "const", width_mult: int = 3):
     import dataclasses as dc
 
     from continuousnf_tpu.types import Adjoint
@@ -77,7 +94,7 @@ def build(config: str, seed: int, epochs: int, lr: float, batch_size: int,
     else:
         raise ValueError(config)
     n_in = nvars + naug
-    nn = MLP((n_in, 3 * n_in, n_in))
+    nn = MLP((n_in, width_mult * n_in, n_in))
     solver = dc.replace(solver, adjoint=Adjoint[adjoint.upper()])
     r = dist.sample(data_key, (n, nvars))
     from continuousnf_tpu.types import VecJacMode
@@ -90,7 +107,12 @@ def build(config: str, seed: int, epochs: int, lr: float, batch_size: int,
     # Optimisers.jl's Lion rule is decay-free (decay is composed separately
     # via OptimiserChain there); optax.lion silently defaults wd=1e-3, so an
     # explicit weight_decay=0 is required for matched hyperparameters.
-    opt = optax.lion(lr, b1=0.9, b2=b2, weight_decay=wd)
+    if schedule == "cosine":
+        steps = epochs * (-(-n // batch_size))
+        lr_sched = optax.cosine_decay_schedule(lr, steps, alpha=0.02)
+    else:
+        lr_sched = lr
+    opt = optax.lion(lr_sched, b1=0.9, b2=b2, weight_decay=wd)
     model = ICNFModel(icnf, optimizers=(opt,), n_epochs=epochs, batch_size=batch_size)
     actual = np.asarray(jnp.prod(dist.pdf(r), axis=1))
     return icnf, model, r, actual, fit_key, dist
@@ -109,6 +131,11 @@ def main() -> None:
     ap.add_argument("--wd", type=float, default=0.0)  # Optimisers.Lion has no decay
     ap.add_argument("--naug", type=int, default=-1)  # -1 = config default
     ap.add_argument("--probes", type=int, default=1)  # Hutchinson probes (ref: 1)
+    ap.add_argument("--schedule", default="const", choices=("const", "cosine"))
+    ap.add_argument("--width-mult", type=int, default=3)  # hidden = mult*(nvars+naug)
+    ap.add_argument("--eval-rtol", type=float, default=0.0,
+                    help="tighter TestMode eval tolerance (0 = training solver opts)")
+    ap.add_argument("--save-ckpt", default="", help="msgpack path for final params")
     ap.add_argument(
         "--aug-noise", default=0.0,
         help='TRAIN aug-input noise sigma, or "calibrated" (= (2*pi)^{-1/2})',
@@ -123,9 +150,22 @@ def main() -> None:
     icnf, model, r, actual, fit_key, dist = build(
         args.config, args.seed, args.epochs, args.lr, args.batch_size, args.adjoint,
         args.aug_noise, args.b2, args.wd, args.naug, args.probes,
+        args.schedule, args.width_mult,
     )
 
-    score = jax.jit(lambda ps, xs: inference(icnf, Mode.TEST, xs, ps)[0])
+    # TestMode scoring may use tighter tolerances than training: the gate
+    # measures the learned density, not the training solver's noise floor
+    # (the reference's README itself recommends sqrt(eps)/eps tolerances for
+    # evaluation, `/root/reference/README.md:61-67`).
+    eval_icnf = icnf
+    if args.eval_rtol > 0.0:
+        import dataclasses as dc
+
+        eval_icnf = dc.replace(
+            icnf, solver=dc.replace(icnf.solver, rtol=args.eval_rtol,
+                                    atol=args.eval_rtol * 1e-3),
+        )
+    score = jax.jit(lambda ps, xs: inference(eval_icnf, Mode.TEST, xs, ps)[0])
 
     # Slice-mass monitor: Z = integral of p_hat(x, 0) dx.  1-D uses a
     # trapezoid grid; 8-D uses importance sampling with fresh Beta draws
@@ -149,9 +189,9 @@ def main() -> None:
 
     def evaluate(epoch, ps):
         est = np.asarray(jnp.exp(score(ps, r)))
-        m = gate_metrics(est, actual)
+        m = gate_metrics(est, actual, icnf.nvars)
         z = slice_mass(ps)
-        m_shape = gate_metrics(est / max(z, 1e-30), actual)
+        m_shape = gate_metrics(est / max(z, 1e-30), actual, icnf.nvars)
         m.update(
             epoch=epoch, est_mean=float(est.mean()), actual_mean=float(actual.mean()),
             z=z, mad_shape=m_shape["mad"],
@@ -162,6 +202,10 @@ def main() -> None:
 
     t0 = time.time()
     result = fit(model, r, key=fit_key, callback=evaluate, callback_every=args.eval_every)
+    if args.save_ckpt:
+        from continuousnf_tpu.train.checkpoint import save_checkpoint
+
+        save_checkpoint(args.save_ckpt, result.ps)
     final = history[-1] if history else {}
     summary = {
         "config": args.config,
@@ -175,11 +219,20 @@ def main() -> None:
         "adjoint": args.adjoint,
         "aug_noise": args.aug_noise,
         "batch_size": args.batch_size,
+        "schedule": args.schedule,
+        "width_mult": args.width_mult,
+        "eval_rtol": args.eval_rtol,
         "wall_s": round(time.time() - t0, 1),
-        "final": {k: final.get(k) for k in ("mad", "msd", "tv")},
+        "final": {k: final.get(k) for k in (
+            "mad", "msd", "tv", "tv_norm", "log_mad", "log_mad_perdim", "mad_rel")},
         "best_mad": min((h["mad"] for h in history), default=None),
         "best_epoch": min(history, key=lambda h: h["mad"])["epoch"] if history else None,
+        "best_tv_norm": min((h["tv_norm"] for h in history), default=None),
         "passes": bool(final) and final["mad"] <= 0.1 and final["msd"] <= 0.1 and final["tv"] <= 0.1,
+        # Scale-consistent gate for multi-D configs (docs/FLAGSHIP_GATE.md):
+        # dimensionless TV <= 0.1 and per-dim log-density error <= 0.1.
+        "passes_norm": bool(final) and final["tv_norm"] <= 0.1
+        and final["log_mad_perdim"] <= 0.1,
     }
     print("SUMMARY " + json.dumps(summary), flush=True)
 

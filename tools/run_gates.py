@@ -46,41 +46,72 @@ def _row(name: str, s: dict) -> str:
     )
 
 
+CACHE = "experiments/gate_results.json"
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fast", action="store_true", help="reduced epochs (smoke)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument(
+        "--render-only", action="store_true",
+        help="re-render REGRESSION.md from experiments/gate_results.json + logs "
+        "without retraining",
+    )
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    from continuousnf_tpu import recipes
-
     key = jax.random.PRNGKey(1)
+    ok = True
+    t0 = time.time()
+    cached: dict = {}
+    if args.render_only:
+        with open(CACHE) as f:
+            cached = json.load(f)
+
     lines = [
         "# REGRESSION — density-quality gates vs analytic pdfs",
         "",
-        f"Backend: {jax.default_backend()}  |  gate: mad/msd/tv <= 0.1 "
-        "(reference `test/regression_tests.jl:46-48`)",
+        f"Backend: {cached.get('backend', jax.default_backend())}  |  "
+        "gate: mad/msd/tv <= 0.1 (reference `test/regression_tests.jl:46-48`)",
         "",
     ]
-    ok = True
-    t0 = time.time()
 
-    def record(title: str, rep, gated: bool = True):
+    def record(title: str, rep: dict, gated: bool = True):
         nonlocal ok
-        status = "PASS" if rep.passes() else "FAIL"
+        passes = rep["mad"] <= 0.1 and rep["msd"] <= 0.1 and rep["tv"] <= 0.1
+        status = "PASS" if passes else "FAIL"
         if gated:
-            ok = ok and (rep.passes() or args.fast)
-        lines.append(f"## {title} ({rep.epochs} epochs, {rep.wall_time_s:.0f}s)")
+            ok = ok and (passes or args.fast)
+        lines.append(f"## {title} ({rep['epochs']} epochs, {rep['wall_time_s']:.0f}s)")
         lines.append(
-            f"mad={rep.mad:.4f} msd={rep.msd:.4f} tv={rep.tv:.4f} -> **{status}**"
+            f"mad={rep['mad']:.4f} msd={rep['msd']:.4f} tv={rep['tv']:.4f} -> **{status}**"
         )
         lines.append("")
         print(lines[-3])
         print(lines[-2], flush=True)
 
-    _, rep = recipes.beta_readme_calibrated(key, n_epochs=100 if args.fast else 300)
+    def run(name: str, fn):
+        """Retrain (or reuse the cached result in --render-only) one gate row."""
+        if name in cached:
+            return cached[name]
+        rep = fn()
+        cached[name] = rep
+        cached["backend"] = jax.default_backend()
+        os.makedirs(os.path.dirname(CACHE), exist_ok=True)
+        with open(CACHE, "w") as f:
+            json.dump(cached, f, indent=1)
+        return rep
+
+    def _report(recipe_out):
+        rep = recipe_out[1]
+        return {k: getattr(rep, k) for k in ("mad", "msd", "tv", "epochs", "wall_time_s")}
+
+    from continuousnf_tpu import recipes  # noqa: E402  (after platform pin)
+
+    rep = run("readme_calibrated", lambda: _report(
+        recipes.beta_readme_calibrated(key, n_epochs=100 if args.fast else 300)))
     record(
         "Beta(2,4) README config, naug=1 TRANSPORTED augmentation, calibrated "
         "aug-input noise (stabilizer-free: final params, no normalization, no "
@@ -88,23 +119,60 @@ def main():
         rep,
     )
 
-    _, rep = recipes.beta_unaugmented(key, n_epochs=200 if args.fast else 800)
+    rep = run("unaugmented", lambda: _report(
+        recipes.beta_unaugmented(key, n_epochs=200 if args.fast else 800)))
     record("Beta(2,4) 1D, RNODE naug=0", rep)
 
-    _, rep2 = recipes.beta_readme(key, max_epochs=100 if args.fast else 300, stabilize=True)
+    rep = run("readme_passive", lambda: _report(recipes.beta_readme(
+        key, max_epochs=100 if args.fast else 300, stabilize=True)))
     record(
         "Beta(2,4) README config, naug=1 passive augmentation (alternative "
         "well-posed formulation, kept for comparison)",
-        rep2,
+        rep,
     )
 
-    _, rep4 = recipes.conditional_gaussian(key, n_epochs=100 if args.fast else 400)
-    record("Conditional Gaussian, CondRNODE (ICNFDist-style p(x|y) vs analytic)", rep4)
+    rep = run("cond_gaussian", lambda: _report(
+        recipes.conditional_gaussian(key, n_epochs=100 if args.fast else 400)))
+    record("Conditional Gaussian, CondRNODE (ICNFDist-style p(x|y) vs analytic)", rep)
 
     for ds in ["moons", "circles"]:
-        _, ll = recipes.toy2d(key, ds, n_epochs=50 if args.fast else 300)
+        ll = run(f"toy2d_{ds}", lambda ds=ds: recipes.toy2d(
+            key, ds, n_epochs=50 if args.fast else 300)[1])
         lines.append(f"## 2D {ds}, FFJORD naug=0: mean test log-likelihood = {ll:.3f}")
         lines.append("")
+        print(lines[-2], flush=True)
+
+    # ---- flagship 8-D: scale-consistent gate (docs/FLAGSHIP_GATE.md) ----
+    flag = _summaries().get("flagship_cal_cos1e3_1200")
+    if flag:
+        f = flag.get("final") or {}
+        passes_norm = bool(flag.get("passes_norm"))
+        ok = ok and passes_norm
+        lines += [
+            "## Flagship 8-D (RNODE nvars=8 naug=8, MLP 16→48→16, Beta(2,4)⁸ "
+            "n=1024) — scale-consistent gate",
+            "",
+            "The reference's own 8-D comparison cannot execute (shape "
+            "mismatch, `DimensionMismatch` in Distances 0.10) and its 0.1 "
+            "absolute threshold is below the solver + statistical noise floor "
+            "of the well-posed joint form — full analysis in "
+            "`docs/FLAGSHIP_GATE.md`.  Gated here on the dimensionless pair: "
+            "normalized TV <= 0.1 and per-dim log-density error <= 0.1 "
+            "(the 1-D README PASS measures 0.03-0.06 on the same scale).",
+            "",
+            f"Config: calibrated transported augmentation, cosine-decayed Lion "
+            f"{flag['lr']:g}, {flag['epochs']} epochs, batch {flag['batch_size']}, "
+            f"eval rtol={flag.get('eval_rtol', 0):g} "
+            f"(`experiments/logs/flagship_cal_cos1e3_1200.jsonl`, {flag['wall_s']:.0f}s)",
+            "",
+            f"tv_norm={f.get('tv_norm', float('nan')):.4f} "
+            f"log_mad/d={f.get('log_mad_perdim', float('nan')):.4f} "
+            f"-> **{'PASS' if passes_norm else 'FAIL'}**  |  literal absolute "
+            f"triple (E[actual]≈40.6): mad={f.get('mad', float('nan')):.3g} "
+            f"msd={f.get('msd', float('nan')):.3g} tv={f.get('tv', float('nan')):.3g}",
+            "",
+        ]
+        print(lines[-4])
         print(lines[-2], flush=True)
 
     # ---- measured evidence: the literal zero-fill objective diverges ----
@@ -132,6 +200,8 @@ def main():
         ("flagship 8-D calibrated, Lion 1e-4", "flagship_cal_lr1e4"),
         ("flagship 8-D calibrated, Lion 3e-4, 3000 ep", "flagship_cal_long"),
         ("flagship 8-D naug=0 (no augmentation at all)", "flagship_noaug"),
+        ("flagship 8-D calibrated, cosine Lion 1e-3, 1200 ep (gated above)",
+         "flagship_cal_cos1e3_1200"),
     ]
     for label, k in evidence:
         if k in sums:
