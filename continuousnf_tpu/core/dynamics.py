@@ -114,6 +114,67 @@ def _exact_field(nn_apply, compute_mode: ComputeMode):
     return field
 
 
+def _exact_train_field(nn_apply, compute_mode: ComputeMode):
+    """dz + exact trace + exact Jacobian Frobenius norm, for TRAIN mode with
+    `compute_mode.exact_trace=True`.
+
+    Same objective as Hutchinson in expectation — E[eps^T J eps] = tr(J) and
+    E[||eps^T J||^2] = ||J||_F^2 — but zero estimator variance, which removes
+    the dominant gradient-noise source at small state dims (the reference is
+    locked to one stochastic probe, `/root/reference/src/base_icnf.jl:277-278`).
+    Costs dz AD passes per stage via the vmapped identity-basis Jacobian; the
+    rows are reused for both the trace and the Frobenius norm.
+    """
+
+    def field(ps, z, ys):
+        dz_dim = z.shape[-1]
+        eye = jnp.eye(dz_dim, dtype=z.dtype)
+
+        def single(zi, ysi):
+            def net(zz):
+                return _batch_apply(nn_apply, ps, zz, ysi)
+
+            if compute_mode.ad == ADMode.JVP:
+                dzi, lin = jax.linearize(net, zi)
+                rows = jax.vmap(lin)(eye)  # row i = J @ e_i (J^T; same tr/fro)
+            else:
+                dzi, vjp_fn = jax.vjp(net, zi)
+                rows = jax.vmap(lambda e: vjp_fn(e)[0])(eye)  # row i = e_i^T J
+            return dzi, jnp.trace(rows), safe_norm(rows.reshape(-1))
+
+        if ys is None:
+            dz, tr, fro = jax.vmap(lambda zi: single(zi, None))(z)
+        else:
+            ys_b = jnp.broadcast_to(ys, (*z.shape[:-1], ys.shape[-1]))
+            dz, tr, fro = jax.vmap(single)(z, ys_b)
+        return dz, tr, fro
+
+    return field
+
+
+def exact_tanh_mlp_trace_fro(params, z: jax.Array):
+    """Closed-form (dz, trace, ||J||_F) of a 2-layer tanh MLP per sample.
+
+    Extends `ops.fused_dynamics.exact_tanh_mlp_trace` with the exact Jacobian
+    Frobenius norm: J[b] = diag-free form J_ij = dy_j * M_ij with
+    M = W1 (dh ⊙ .) W2, so ||J||_F^2 = sum_ij M_ij^2 dy_j^2.  Cost O(B d^2 H)
+    — the same order as the dz AD passes of the generic path, but a single
+    einsum chain that XLA maps onto the MXU.
+    """
+    (p1, p2) = params
+    w1, b1, w2, b2 = p1["w"], p1["b"], p2["w"], p2["b"]
+    h = jnp.tanh(z @ w1 + b1)
+    y = jnp.tanh(h @ w2 + b2)
+    dh = 1.0 - h * h
+    dy = 1.0 - y * y
+    tr = jnp.einsum("bi,hi,bh,ih->b", dy, w2, dh, w1)
+    m = jnp.einsum("ih,bh,hj->bij", w1, dh, w2)
+    fro2 = jnp.einsum("bij,bj->b", m * m, dy * dy)
+    pos = fro2 > 0
+    fro = jnp.where(pos, jnp.sqrt(jnp.where(pos, fro2, 1.0)), 0.0)
+    return y, tr, fro
+
+
 def _hutchinson_field(nn_apply, compute_mode: ComputeMode):
     """dz plus the K-probe Hutchinson trace estimate and regularizer rates.
 
@@ -221,6 +282,29 @@ def make_augmented_dynamics(
             return TestState(z=dz, dlogp=-tr)
 
         return f_test
+
+    if compute_mode.exact_trace:
+        # TRAIN with the exact divergence + exact ||J||_F rate (zero-variance
+        # analog of the Hutchinson estimator; see ComputeMode.exact_trace).
+        from ..ops.fused_dynamics import supports_fusion
+
+        closed_form = supports_fusion(nn) and passive_aug_dims == 0
+        exact_tf = _exact_train_field(nn_apply, compute_mode)
+
+        def f_train_exact(t, state: TrainState, args):
+            if closed_form and args.get("ys") is None:
+                dz, tr, fro = exact_tanh_mlp_trace_fro(args["ps"], state.z)
+            else:
+                dz, tr, fro = exact_tf(args["ps"], state.z, args.get("ys"))
+            zero = jnp.zeros_like(tr)
+            return TrainState(
+                z=dz,
+                dlogp=-tr,
+                reg_e=safe_norm(dz) if norm_z else zero,
+                reg_n=fro if norm_j else zero,
+            )
+
+        return f_train_exact
 
     use_fused = False
     if (

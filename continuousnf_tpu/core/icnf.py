@@ -381,10 +381,12 @@ def inference(
             )
             z0 = jnp.concatenate([xs, a0], axis=-1)
         eps_key, steer_key = jax.random.split(key)
-        if eps is None:
+        if eps is None and not icnf.compute_mode.exact_trace:
             # One probe draw per call, fixed across the trajectory (reference
             # `src/base_icnf.jl:277-278`).  Callers may pre-sample eps to
-            # control its device sharding (probe-axis parallelism).
+            # control its device sharding (probe-axis parallelism).  With
+            # exact_trace the field needs no probes — eps stays None, which
+            # also keeps the (K, B, dz) block out of the adjoint state.
             eps = icnf.draw_eps(eps_key, B)
             if icnf.aug_passive and icnf.n_aug_input:
                 # Passive dims have a zero field row/column: probing them only
@@ -441,7 +443,7 @@ def generate(
     zeros_b = jnp.zeros((B,), icnf.dtype)
 
     if mode == Mode.TRAIN:
-        eps = icnf.draw_eps(eps_key, B)
+        eps = None if icnf.compute_mode.exact_trace else icnf.draw_eps(eps_key, B)
         state1 = TrainState(z=z1, dlogp=zeros_b, reg_e=zeros_b, reg_n=zeros_b)
         args = {"ps": ps, "eps": eps, "ys": ys}
         t0, t1 = _steer_tspan(icnf, mode, steer_key)

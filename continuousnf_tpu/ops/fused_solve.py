@@ -674,7 +674,9 @@ def make_full_solve(
     if mode == Mode.TRAIN:
         from ..types import ADMode
 
-        if cm.ad != ADMode.VJP:
+        if cm.ad != ADMode.VJP or cm.exact_trace:
+            # The kernel's TRAIN math is the 1-probe Hutchinson estimator;
+            # exact_trace asks for the zero-variance exact divergence.
             return None
     if icnf.dtype != jnp.float32:
         return None

@@ -159,10 +159,13 @@ def fit(
     *,
     key: jax.Array,
     ps: Any = None,
+    opt_state: Any = None,
+    epoch_start: int = 0,
     verbosity: int = 0,
     mesh=None,
     callback=None,
     callback_every: int = 0,
+    state_callback=None,
     profile_dir: Optional[str] = None,
 ) -> FitResult:
     """Train the model on data `X` (n, nvars) [and conditioning `Y` (n, n_cond)].
@@ -174,6 +177,13 @@ def fit(
     `callback(epoch, ps) -> bool` runs every `callback_every` epochs (when
     both are set); returning True stops training early — used e.g. by the
     augmented-slice normalization monitor (recipes.py).
+
+    Exact crash resume (single-optimizer models): pass `ps`, `opt_state` and
+    `epoch_start` from a checkpoint written by `state_callback(epoch, ps,
+    opt_state)` (same cadence as `callback`) and the run continues bit-exactly
+    — per-epoch PRNG keys derive from the *global* epoch index
+    (`fold_in(train_key, epoch)`), so the remaining epochs see the same
+    permutations/probes/steering draws as an uninterrupted run.
 
     `verbosity > 0` prints per-chunk progress on host 0 only (multi-host
     safe); `profile_dir` wraps the run in a `jax.profiler` trace (the analog
@@ -200,28 +210,41 @@ def fit(
     init_key, train_key = jax.random.split(key)
     if ps is None:
         ps = init_params(icnf, init_key)
+    if (opt_state is not None or epoch_start) and len(model.optimizers) != 1:
+        raise ValueError("opt_state/epoch_start resume requires a single optimizer")
 
     is_host0 = jax.process_index() == 0
 
     t_start = time.perf_counter()
     history = []  # list of (metrics-dict-of-device-arrays, samples_per_s)
-    epoch_i = 0
+    epoch_i = int(epoch_start)
     stopped = False
     if profile_dir is not None:
         jax.profiler.start_trace(profile_dir)
     # One device call covers a chunk of epochs; callbacks run between chunks.
     # Chunk size adapts to keep each device call under ~15s: very long calls
-    # can trip execution watchdogs on remote-attached runtimes, and very short
-    # ones are dominated by host round-trips.
+    # can trip execution watchdogs on remote-attached runtimes (the round-2
+    # flagship run died this way when a diverging model made epochs 10-100x
+    # slower mid-run), and very short ones are dominated by host round-trips.
+    # Chunk sizes are quantized to powers of two so re-sizing costs at most
+    # log2(max_chunk) compilations.
     TARGET_CALL_S = 15.0
-    max_chunk = callback_every if (callback is not None and callback_every) else 25
+    max_chunk = callback_every if (callback is not None and callback_every) else 32
     max_chunk = max(1, min(max_chunk, model.n_epochs))
+
+    def _quantize(c: float) -> int:
+        q = 1
+        while q * 2 <= min(c, max_chunk):
+            q *= 2
+        return q
+
     for opt in model.optimizers:
         if stopped:
             break
-        opt_state = opt.init(ps)
+        if opt_state is None:
+            opt_state = opt.init(ps)
         fns = {}
-        remaining = model.n_epochs
+        remaining = model.n_epochs - epoch_i if opt is model.optimizers[0] else model.n_epochs
         ci = 0
         chunk = 1  # first call measures per-epoch time
         epoch_cost = None
@@ -233,24 +256,22 @@ def fit(
             ps, opt_state, ms = fns[cs](
                 ps, opt_state, xs, ys, train_key, jnp.asarray(epoch_i, jnp.int32)
             )
-            if epoch_cost is None and ci > 0:
-                # Second chunk=1 call is compile-free: measure the epoch cost
-                # (host readback closes the region) and pick the chunk size.
-                float(ms["loss"][-1])
-                epoch_cost = max((time.perf_counter() - t_call) / cs, 1e-3)
-                chunk = int(max(1, min(max_chunk, TARGET_CALL_S / epoch_cost)))
             # One scalar readback per chunk: closes the async-dispatch region
             # so chunk_wall is real work time (block_until_ready is unreliable
             # on remote-attached runtimes), at the cost of one scalar DMA per
             # ~15s device call.
             float(np.asarray(ms["loss"])[-1])
             chunk_wall = time.perf_counter() - t_call
-            # Re-shrink if epochs got slower than at calibration time (e.g. a
-            # diverging model drives the adaptive solver to max_steps, making
-            # each epoch 10-100x more expensive) — unbounded chunk walls can
-            # trip remote-runtime execution watchdogs and kill the worker.
-            if chunk_wall > 4.0 * TARGET_CALL_S and chunk > 1:
-                chunk = max(1, int(chunk * TARGET_CALL_S / chunk_wall))
+            if ci > 0:  # compile-free calls: track the per-epoch cost
+                latest = max(chunk_wall / cs, 1e-3)
+                # Conservative update: follow slowdowns immediately (a
+                # diverging model can hit the solver's max_steps and make
+                # epochs 10-100x slower — unbounded chunk walls trip remote
+                # watchdogs and kill the worker), decay speedups gradually.
+                epoch_cost = latest if epoch_cost is None else max(
+                    latest, 0.5 * epoch_cost + 0.5 * latest
+                )
+                chunk = _quantize(TARGET_CALL_S / epoch_cost)
             epoch_i += cs
             remaining -= cs
             ci += 1
@@ -263,8 +284,11 @@ def fit(
                     f"E={float(ms['e'][-1]):.3f} n={float(ms['n'][-1]):.3f} "
                     f"nfe={float(ms['nfe'][-1]):.0f}"
                 )
+            if state_callback is not None:
+                state_callback(epoch_i, ps, opt_state)
             if callback is not None and callback_every and callback(epoch_i, ps):
                 stopped = True
+        opt_state = None  # next optimizer re-inits
     if profile_dir is not None:
         jax.profiler.stop_trace()
     metrics: dict = {k: [] for k in ("loss", "e", "n", "nfe")}

@@ -313,3 +313,77 @@ def test_generate_with_stats():
     assert int(stats.nfe) > 0
     s2 = cnf.generate(icnf, Mode.TEST, ps, 8, key=jax.random.PRNGKey(1))
     np.testing.assert_array_equal(np.asarray(s), np.asarray(s2))
+
+
+def test_exact_trace_train_matches_test_logp():
+    """TRAIN with exact_trace computes the exact divergence: logp must equal
+    the TEST-mode exact-trace density (steering off, aug_noise 0)."""
+    nn = cnf.MLP((2, 12, 2))
+    icnf = cnf.construct(
+        cnf.FFJORD, nn, 2, 0, compute_mode=cnf.ComputeMode(exact_trace=True),
+    )
+    ps = icnf.init(jax.random.PRNGKey(5))
+    xs = jax.random.normal(jax.random.PRNGKey(8), (8, 2))
+    lp_tr, _, _ = cnf.inference(icnf, Mode.TRAIN, xs, ps, key=jax.random.PRNGKey(9))
+    lp_te, _, _ = cnf.inference(icnf, Mode.TEST, xs, ps)
+    np.testing.assert_allclose(np.asarray(lp_tr), np.asarray(lp_te), atol=2e-4)
+
+
+@pytest.mark.parametrize("ad", ["vjp", "jvp"])
+def test_exact_trace_frobenius_rate(ad):
+    """reg_n under exact_trace integrates ||J||_F; the K-probe Hutchinson
+    sqrt(E||eps^T J||^2) converges to it (Rademacher, K large).  Also checks
+    the closed-form tanh-MLP path against the generic AD path via a
+    non-fusable 3-layer net."""
+    make = cnf.VecJacMode if ad == "vjp" else cnf.JacVecMode
+    nn = cnf.MLP((2, 12, 2))
+    icnf_ex = cnf.construct(
+        cnf.RNODE, nn, 2, 0, compute_mode=make(exact_trace=True),
+    )
+    icnf_k = cnf.construct(
+        cnf.RNODE, nn, 2, 0,
+        compute_mode=make(num_probes=512, eps_dist=cnf.EpsDist.RADEMACHER),
+    )
+    ps = icnf_ex.init(jax.random.PRNGKey(3))
+    xs = jax.random.normal(jax.random.PRNGKey(4), (6, 2)) * 0.5
+    _, regs_ex, _ = cnf.inference(icnf_ex, Mode.TRAIN, xs, ps, key=jax.random.PRNGKey(6))
+    _, regs_k, _ = cnf.inference(icnf_k, Mode.TRAIN, xs, ps, key=jax.random.PRNGKey(7))
+    # E||eps^T J|| <= sqrt(E||eps^T J||^2) = ||J||_F (Jensen), within ~10%
+    # at K=512 for a 2x2 Jacobian: compare loosely.
+    np.testing.assert_allclose(
+        np.asarray(regs_k.n), np.asarray(regs_ex.n), rtol=0.15)
+
+
+def test_exact_trace_closed_form_matches_generic():
+    """The tanh-MLP closed-form (trace, ||J||_F) equals the AD identity-basis
+    path on the same params/points."""
+    from continuousnf_tpu.core.dynamics import (
+        _exact_train_field, exact_tanh_mlp_trace_fro)
+
+    nn = cnf.MLP((3, 8, 3))
+    ps = nn.init(jax.random.PRNGKey(0), jnp.float32)
+    z = jax.random.normal(jax.random.PRNGKey(1), (5, 3))
+    dz_c, tr_c, fro_c = exact_tanh_mlp_trace_fro(ps, z)
+    field = _exact_train_field(nn.apply, cnf.ComputeMode(exact_trace=True))
+    dz_g, tr_g, fro_g = field(ps, z, None)
+    np.testing.assert_allclose(np.asarray(dz_c), np.asarray(dz_g), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tr_c), np.asarray(tr_g), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fro_c), np.asarray(fro_g), atol=1e-5)
+
+
+def test_exact_trace_gradients_flow():
+    nn = cnf.MLP((4, 12, 4))
+    icnf = cnf.construct(
+        cnf.RNODE, nn, 2, 2, tspan=(0.0, 1.0), steer_rate=0.1,
+        aug_noise="calibrated",
+        compute_mode=cnf.ComputeMode(exact_trace=True),
+    )
+    ps = icnf.init(jax.random.PRNGKey(0))
+    xs = jax.random.normal(jax.random.PRNGKey(1), (4, 2)) * 0.3
+    g = jax.grad(
+        lambda p: cnf.loss(icnf, Mode.TRAIN, xs, p, key=jax.random.PRNGKey(2))
+    )(ps)
+    assert _all_finite(g)
+    assert any(
+        float(jnp.max(jnp.abs(leaf))) > 0 for leaf in jax.tree.leaves(g)
+    )

@@ -102,3 +102,40 @@ def test_warm_start_from_checkpoint(tmp_path):
     )
     res2 = cnf.fit(model, X, key=jax.random.PRNGKey(2), ps=ps2)
     assert np.isfinite(res2.losses).all()
+
+
+def test_exact_resume_from_state_checkpoint(tmp_path):
+    """Kill-and-resume equivalence: training N epochs straight through equals
+    training to a mid-run (ps, opt_state, epoch) snapshot, restarting from it
+    with `fit(ps=, opt_state=, epoch_start=)`, and finishing.  Per-epoch PRNG
+    keys derive from the global epoch index, so the math is chunking- and
+    restart-invariant."""
+    from continuousnf_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    model = _model(n_epochs=8, batch_size=16)
+    X = jax.random.uniform(jax.random.PRNGKey(0), (40, 2))
+    key = jax.random.PRNGKey(1)
+
+    snaps = {}
+
+    def snap(epoch, ps, opt_state):
+        snaps[epoch] = (jax.tree.map(jnp.copy, ps), jax.tree.map(jnp.copy, opt_state))
+
+    full = cnf.fit(model, X, key=key, state_callback=snap)
+    mid = sorted(e for e in snaps if 0 < e < 8)[0]
+    ps_mid, opt_mid = snaps[mid]
+
+    # Round-trip the snapshot through the msgpack checkpoint (what
+    # literal_gates --resume does).
+    path = str(tmp_path / "mid.msgpack")
+    save_checkpoint(path, {"ps": ps_mid, "opt": opt_mid, "epoch": mid})
+    like = {"ps": ps_mid, "opt": opt_mid, "epoch": 0}
+    loaded = load_checkpoint(path, like)
+
+    resumed = cnf.fit(
+        model, X, key=key,
+        ps=loaded["ps"], opt_state=loaded["opt"], epoch_start=int(loaded["epoch"]),
+    )
+    assert resumed.epochs == 8
+    for a, b in zip(jax.tree.leaves(full.ps), jax.tree.leaves(resumed.ps)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -74,7 +74,9 @@ def gate_metrics(est: np.ndarray, actual: np.ndarray, nvars: int = 1) -> dict:
 def build(config: str, seed: int, epochs: int, lr: float, batch_size: int,
           adjoint: str = "backsolve", aug_noise: float = 0.0,
           b2: float = 0.99, wd: float = 0.0, naug: int = -1, probes: int = 1,
-          schedule: str = "const", width_mult: int = 3):
+          schedule: str = "const", width_mult: int = 3,
+          exact_trace: bool = False, opt_name: str = "lion",
+          clip: float = 0.0, train_rtol: float = 0.0, method: str = ""):
     import dataclasses as dc
 
     from continuousnf_tpu.types import Adjoint
@@ -96,13 +98,18 @@ def build(config: str, seed: int, epochs: int, lr: float, batch_size: int,
     n_in = nvars + naug
     nn = MLP((n_in, width_mult * n_in, n_in))
     solver = dc.replace(solver, adjoint=Adjoint[adjoint.upper()])
+    if train_rtol > 0.0:
+        solver = dc.replace(solver, rtol=train_rtol, atol=train_rtol * 1e-3)
+    if method:
+        solver = dc.replace(solver, method=method)
     r = dist.sample(data_key, (n, nvars))
     from continuousnf_tpu.types import VecJacMode
 
     icnf = construct(
         RNODE, nn, nvars, naug,
         tspan=(0.0, 13.0), steer_rate=0.1, lam3=1e-2, solver=solver,
-        aug_noise=aug_noise, compute_mode=VecJacMode(num_probes=probes),
+        aug_noise=aug_noise,
+        compute_mode=VecJacMode(num_probes=probes, exact_trace=exact_trace),
     )
     # Optimisers.jl's Lion rule is decay-free (decay is composed separately
     # via OptimiserChain there); optax.lion silently defaults wd=1e-3, so an
@@ -112,7 +119,14 @@ def build(config: str, seed: int, epochs: int, lr: float, batch_size: int,
         lr_sched = optax.cosine_decay_schedule(lr, steps, alpha=0.02)
     else:
         lr_sched = lr
-    opt = optax.lion(lr_sched, b1=0.9, b2=b2, weight_decay=wd)
+    if opt_name == "lion":
+        opt = optax.lion(lr_sched, b1=0.9, b2=b2, weight_decay=wd)
+    elif opt_name == "adam":
+        opt = optax.adamw(lr_sched, weight_decay=wd)
+    else:
+        raise ValueError(opt_name)
+    if clip > 0.0:
+        opt = optax.chain(optax.clip_by_global_norm(clip), opt)
     model = ICNFModel(icnf, optimizers=(opt,), n_epochs=epochs, batch_size=batch_size)
     actual = np.asarray(jnp.prod(dist.pdf(r), axis=1))
     return icnf, model, r, actual, fit_key, dist
@@ -140,7 +154,29 @@ def main() -> None:
         "--aug-noise", default=0.0,
         help='TRAIN aug-input noise sigma, or "calibrated" (= (2*pi)^{-1/2})',
     )
+    ap.add_argument("--exact-trace", action="store_true",
+                    help="TRAIN with the exact divergence (zero-variance) "
+                    "instead of the 1-probe Hutchinson estimator")
+    ap.add_argument("--opt", default="lion", choices=("lion", "adam"))
+    ap.add_argument("--clip", type=float, default=0.0,
+                    help="global-norm gradient clipping (0 = off)")
+    ap.add_argument("--train-rtol", type=float, default=0.0,
+                    help="override the TRAINING solver rtol (atol = rtol*1e-3)")
+    ap.add_argument("--method", default="", help="override the solver method")
+    ap.add_argument(
+        "--live-ckpt", default="",
+        help="msgpack path for periodic (ps, opt_state, epoch) snapshots; a "
+        "crashed run resumes from it with --resume (default: "
+        "experiments/ckpt/<config>_s<seed>_live.msgpack)",
+    )
+    ap.add_argument("--resume", action="store_true",
+                    help="resume bit-exactly from --live-ckpt if it exists")
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin the CPU backend (smoke tests; the env var "
+                    "JAX_PLATFORMS is stripped on this runtime)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     if args.aug_noise == "calibrated":
         from continuousnf_tpu.core.icnf import CALIBRATED_AUG_SIGMA
 
@@ -150,7 +186,8 @@ def main() -> None:
     icnf, model, r, actual, fit_key, dist = build(
         args.config, args.seed, args.epochs, args.lr, args.batch_size, args.adjoint,
         args.aug_noise, args.b2, args.wd, args.naug, args.probes,
-        args.schedule, args.width_mult,
+        args.schedule, args.width_mult, args.exact_trace, args.opt,
+        args.clip, args.train_rtol, args.method,
     )
 
     # TestMode scoring may use tighter tolerances than training: the gate
@@ -165,7 +202,12 @@ def main() -> None:
             icnf, solver=dc.replace(icnf.solver, rtol=args.eval_rtol,
                                     atol=args.eval_rtol * 1e-3),
         )
-    score = jax.jit(lambda ps, xs: inference(eval_icnf, Mode.TEST, xs, ps)[0])
+    def _score_full(ps, xs):
+        lp, _, stats = inference(eval_icnf, Mode.TEST, xs, ps)
+        return lp, stats.nfe
+
+    score_full = jax.jit(_score_full)
+    score = lambda ps, xs: score_full(ps, xs)[0]
 
     # Slice-mass monitor: Z = integral of p_hat(x, 0) dx.  1-D uses a
     # trapezoid grid; 8-D uses importance sampling with fresh Beta draws
@@ -188,53 +230,99 @@ def main() -> None:
     history = []
 
     def evaluate(epoch, ps):
-        est = np.asarray(jnp.exp(score(ps, r)))
+        lp, nfe = score_full(ps, r)
+        est = np.asarray(jnp.exp(lp))
         m = gate_metrics(est, actual, icnf.nvars)
         z = slice_mass(ps)
         m_shape = gate_metrics(est / max(z, 1e-30), actual, icnf.nvars)
         m.update(
             epoch=epoch, est_mean=float(est.mean()), actual_mean=float(actual.mean()),
-            z=z, mad_shape=m_shape["mad"],
+            z=z, mad_shape=m_shape["mad"], eval_nfe=int(nfe),
         )
         history.append(m)
         print(json.dumps({"config": args.config, "seed": args.seed, **m}), flush=True)
         return False
 
-    t0 = time.time()
-    result = fit(model, r, key=fit_key, callback=evaluate, callback_every=args.eval_every)
-    if args.save_ckpt:
-        from continuousnf_tpu.train.checkpoint import save_checkpoint
+    # Crash-resilient state: periodic (ps, opt_state, epoch) snapshots let a
+    # killed run resume bit-exactly (fit derives per-epoch PRNG keys from the
+    # global epoch index), and the SUMMARY is emitted in `finally` so even a
+    # crashed run leaves a machine-readable record marked complete=False.
+    from continuousnf_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 
-        save_checkpoint(args.save_ckpt, result.ps)
-    final = history[-1] if history else {}
-    summary = {
-        "config": args.config,
-        "seed": args.seed,
-        "epochs": result.epochs,
-        "lr": args.lr,
-        "b2": args.b2,
-        "naug": args.naug,
-        "probes": args.probes,
-        "wd": args.wd,
-        "adjoint": args.adjoint,
-        "aug_noise": args.aug_noise,
-        "batch_size": args.batch_size,
-        "schedule": args.schedule,
-        "width_mult": args.width_mult,
-        "eval_rtol": args.eval_rtol,
-        "wall_s": round(time.time() - t0, 1),
-        "final": {k: final.get(k) for k in (
-            "mad", "msd", "tv", "tv_norm", "log_mad", "log_mad_perdim", "mad_rel")},
-        "best_mad": min((h["mad"] for h in history), default=None),
-        "best_epoch": min(history, key=lambda h: h["mad"])["epoch"] if history else None,
-        "best_tv_norm": min((h["tv_norm"] for h in history), default=None),
-        "passes": bool(final) and final["mad"] <= 0.1 and final["msd"] <= 0.1 and final["tv"] <= 0.1,
-        # Scale-consistent gate for multi-D configs (docs/FLAGSHIP_GATE.md):
-        # dimensionless TV <= 0.1 and per-dim log-density error <= 0.1.
-        "passes_norm": bool(final) and final["tv_norm"] <= 0.1
-        and final["log_mad_perdim"] <= 0.1,
-    }
-    print("SUMMARY " + json.dumps(summary), flush=True)
+    live_ckpt = args.live_ckpt or (
+        f"experiments/ckpt/{args.config}_s{args.seed}_live.msgpack"
+    )
+    import os
+
+    os.makedirs(os.path.dirname(live_ckpt) or ".", exist_ok=True)
+
+    def snapshot(epoch, ps, opt_state):
+        save_checkpoint(live_ckpt, {"ps": ps, "opt": opt_state, "epoch": epoch})
+
+    resume_kw = {}
+    if args.resume and os.path.exists(live_ckpt):
+        from continuousnf_tpu.core.icnf import init_params
+
+        # Template pytree for msgpack deserialization: the same init fit()
+        # would run (fit splits its key into (init, train)).
+        init_key, _ = jax.random.split(fit_key)
+        ps0 = init_params(icnf, init_key)
+        opt0 = model.optimizers[0].init(ps0)
+        snap = load_checkpoint(live_ckpt, {"ps": ps0, "opt": opt0, "epoch": 0})
+        resume_kw = {
+            "ps": snap["ps"], "opt_state": snap["opt"],
+            "epoch_start": int(snap["epoch"]),
+        }
+        print(json.dumps({"resumed_from": live_ckpt,
+                          "epoch": int(snap["epoch"])}), flush=True)
+
+    t0 = time.time()
+    result = None
+    try:
+        result = fit(
+            model, r, key=fit_key, callback=evaluate,
+            callback_every=args.eval_every, state_callback=snapshot, **resume_kw,
+        )
+        if args.save_ckpt:
+            save_checkpoint(args.save_ckpt, result.ps)
+    finally:
+        final = history[-1] if history else {}
+        summary = {
+            "config": args.config,
+            "seed": args.seed,
+            "epochs": result.epochs if result is not None else (
+                history[-1]["epoch"] if history else 0),
+            "complete": result is not None,
+            "lr": args.lr,
+            "b2": args.b2,
+            "naug": args.naug,
+            "probes": args.probes,
+            "wd": args.wd,
+            "adjoint": args.adjoint,
+            "opt": args.opt,
+            "clip": args.clip,
+            "exact_trace": args.exact_trace,
+            "train_rtol": args.train_rtol,
+            "method": args.method,
+            "aug_noise": args.aug_noise,
+            "batch_size": args.batch_size,
+            "schedule": args.schedule,
+            "width_mult": args.width_mult,
+            "eval_rtol": args.eval_rtol,
+            "wall_s": round(time.time() - t0, 1),
+            "final": {k: final.get(k) for k in (
+                "mad", "msd", "tv", "tv_norm", "log_mad", "log_mad_perdim", "mad_rel")},
+            "best_mad": min((h["mad"] for h in history), default=None),
+            "best_epoch": min(history, key=lambda h: h["mad"])["epoch"] if history else None,
+            "best_tv_norm": min((h["tv_norm"] for h in history), default=None),
+            "passes": bool(final) and result is not None
+            and final["mad"] <= 0.1 and final["msd"] <= 0.1 and final["tv"] <= 0.1,
+            # Scale-consistent gate for multi-D configs (docs/FLAGSHIP_GATE.md):
+            # dimensionless TV <= 0.1 and per-dim log-density error <= 0.1.
+            "passes_norm": bool(final) and result is not None
+            and final["tv_norm"] <= 0.1 and final["log_mad_perdim"] <= 0.1,
+        }
+        print("SUMMARY " + json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":

@@ -48,6 +48,12 @@ def _row(name: str, s: dict) -> str:
 
 CACHE = "experiments/gate_results.json"
 
+#: The designated flagship 8-D gated run (a log produced by
+#: tools/literal_gates.py --config flagship).  The gate is FAIL-CLOSED: a
+#: missing log, a missing SUMMARY line, or an incomplete (crashed) run all
+#: fail the gate explicitly rather than silently skipping it.
+FLAGSHIP_RUN = "flagship_r3_gated"
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -93,11 +99,15 @@ def main():
         print(lines[-2], flush=True)
 
     def run(name: str, fn):
-        """Retrain (or reuse the cached result in --render-only) one gate row."""
-        if name in cached:
-            return cached[name]
+        """Retrain (or reuse the cached result in --render-only) one gate row.
+
+        The cache key includes the budget tier, so --fast smoke results can
+        never be rendered/gated as full results (advisor round-2 finding)."""
+        key_ = f"{name}@{'fast' if args.fast else 'full'}"
+        if key_ in cached:
+            return cached[key_]
         rep = fn()
-        cached[name] = rep
+        cached[key_] = rep
         cached["backend"] = jax.default_backend()
         os.makedirs(os.path.dirname(CACHE), exist_ok=True)
         with open(CACHE, "w") as f:
@@ -143,27 +153,51 @@ def main():
         print(lines[-2], flush=True)
 
     # ---- flagship 8-D: scale-consistent gate (docs/FLAGSHIP_GATE.md) ----
-    flag = _summaries().get("flagship_cal_cos1e3_1200")
-    if flag:
+    # FAIL-CLOSED: a missing log/SUMMARY or an incomplete (crashed) run is an
+    # explicit FAIL row, never a silent skip (advisor round-2 finding).
+    flag = _summaries().get(FLAGSHIP_RUN)
+    lines += [
+        "## Flagship 8-D (RNODE nvars=8 naug=8, MLP 16→48→16, Beta(2,4)⁸ "
+        "n=1024) — scale-consistent gate",
+        "",
+        "The reference's own 8-D comparison cannot execute (shape "
+        "mismatch, `DimensionMismatch` in Distances 0.10) and its 0.1 "
+        "absolute threshold is below the solver + statistical noise floor "
+        "of the well-posed joint form — full analysis in "
+        "`docs/FLAGSHIP_GATE.md`.  Gated here on the dimensionless pair: "
+        "normalized TV <= 0.1 and per-dim log-density error <= 0.1 "
+        "(the 1-D README PASS measures 0.03-0.06 on the same scale).",
+        "",
+    ]
+    if flag is None:
+        passes_norm = False
+        lines += [
+            f"**MISSING** — no SUMMARY line in "
+            f"`experiments/logs/{FLAGSHIP_RUN}.jsonl`; the gate fails closed. "
+            f"-> **FAIL**",
+            "",
+        ]
+    elif not flag.get("complete", True):
+        passes_norm = False
+        f = flag.get("final") or {}
+        lines += [
+            f"**INCOMPLETE** — the run crashed at epoch {flag.get('epochs')} "
+            f"(last eval: tv_norm={f.get('tv_norm', float('nan')):.4f} "
+            f"log_mad/d={f.get('log_mad_perdim', float('nan')):.4f}); the "
+            f"gate fails closed. -> **FAIL**",
+            "",
+        ]
+    else:
         f = flag.get("final") or {}
         passes_norm = bool(flag.get("passes_norm"))
-        ok = ok and passes_norm
         lines += [
-            "## Flagship 8-D (RNODE nvars=8 naug=8, MLP 16→48→16, Beta(2,4)⁸ "
-            "n=1024) — scale-consistent gate",
-            "",
-            "The reference's own 8-D comparison cannot execute (shape "
-            "mismatch, `DimensionMismatch` in Distances 0.10) and its 0.1 "
-            "absolute threshold is below the solver + statistical noise floor "
-            "of the well-posed joint form — full analysis in "
-            "`docs/FLAGSHIP_GATE.md`.  Gated here on the dimensionless pair: "
-            "normalized TV <= 0.1 and per-dim log-density error <= 0.1 "
-            "(the 1-D README PASS measures 0.03-0.06 on the same scale).",
-            "",
-            f"Config: calibrated transported augmentation, cosine-decayed Lion "
-            f"{flag['lr']:g}, {flag['epochs']} epochs, batch {flag['batch_size']}, "
-            f"eval rtol={flag.get('eval_rtol', 0):g} "
-            f"(`experiments/logs/flagship_cal_cos1e3_1200.jsonl`, {flag['wall_s']:.0f}s)",
+            f"Config: calibrated transported augmentation, "
+            f"{flag.get('opt', 'lion')} lr={flag['lr']:g} "
+            f"schedule={flag.get('schedule', 'const')}, "
+            f"{'exact divergence' if flag.get('exact_trace') else '1-probe Hutchinson'}, "
+            f"adjoint={flag.get('adjoint')}, {flag['epochs']} epochs, "
+            f"batch {flag['batch_size']}, eval rtol={flag.get('eval_rtol', 0):g} "
+            f"(`experiments/logs/{FLAGSHIP_RUN}.jsonl`, {flag['wall_s']:.0f}s)",
             "",
             f"tv_norm={f.get('tv_norm', float('nan')):.4f} "
             f"log_mad/d={f.get('log_mad_perdim', float('nan')):.4f} "
@@ -172,8 +206,8 @@ def main():
             f"msd={f.get('msd', float('nan')):.3g} tv={f.get('tv', float('nan')):.3g}",
             "",
         ]
-        print(lines[-4])
-        print(lines[-2], flush=True)
+    ok = ok and (passes_norm or args.fast)
+    print(lines[-2], flush=True)
 
     # ---- measured evidence: the literal zero-fill objective diverges ----
     sums = _summaries()
@@ -200,8 +234,10 @@ def main():
         ("flagship 8-D calibrated, Lion 1e-4", "flagship_cal_lr1e4"),
         ("flagship 8-D calibrated, Lion 3e-4, 3000 ep", "flagship_cal_long"),
         ("flagship 8-D naug=0 (no augmentation at all)", "flagship_noaug"),
-        ("flagship 8-D calibrated, cosine Lion 1e-3, 1200 ep (gated above)",
+        ("flagship 8-D calibrated, cosine Lion 1e-3, 1200 ep (round-2 "
+         "attempt; crashed at epoch 287 — no SUMMARY)",
          "flagship_cal_cos1e3_1200"),
+        ("flagship 8-D gated run (round 3, gated above)", FLAGSHIP_RUN),
     ]
     for label, k in evidence:
         if k in sums:
