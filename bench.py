@@ -2,15 +2,21 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus extra
 diagnostic keys.  The reference publishes no absolute numbers (BASELINE.md),
-so vs_baseline anchors against this repo's round-1 measurement (cross-round
-trend, not a reference ratio).
+so vs_baseline anchors against this repo's ROUND-1 BUILD re-measured under
+the current methodology at the current config (BASELINE_ANCHOR.json, written
+by tools/bench_anchor.py from a worktree of the round-1 commit) — a true
+apples-to-apples cross-round trend, not a reference ratio.
 
-Config mirrors the reference benchmark/regression suite shape
-(`/root/reference/benchmark/benchmarks.jl:24-49`,
-`/root/reference/test/regression_tests.jl:2-28`): RNODE nvars=8 naug=8,
+Config now mirrors the reference benchmark/regression configs FAITHFULLY,
+including tspan=(0,13) (`/root/reference/benchmark/benchmarks.jl:43`,
+`/root/reference/test/regression_tests.jl:20` — round-2 bench used tspan=(0,1),
+a ~13x shorter transport, and was flagged for it): RNODE nvars=8 naug=8,
 tanh MLP 16->48->16, TrainMode loss+gradient at the reference's effective
 solver tolerances (rtol=1e-3/atol=1e-6 — its tests pass no sol_kwargs),
-scaled to a TPU-sized batch, with the fused Pallas megakernel on.
+scaled to a TPU-sized batch, with the fused Pallas megakernel on.  The
+NFE-normalized companion metric `field_evals_per_sec` (= samples/s x NFE per
+solve) is transport-length-invariant and is the number to compare across
+configs with different tspans.
 
 Timing methodology (remote-attached "axon" TPU runtimes): per-dispatch host
 cost is ~2 ms and a device->host readback costs ~30 ms with high variance,
@@ -96,7 +102,10 @@ def main():
             nn,
             nvars,
             naug,
-            tspan=(0.0, 1.0),
+            # Reference tspan — both its benchmark and regression configs
+            # integrate 0 -> 13 (`benchmark/benchmarks.jl:43`,
+            # `test/regression_tests.jl:20`).
+            tspan=(0.0, 13.0),
             steer_rate=0.1,
             lam3=1e-2,
             compute_mode=cnf.VecJacMode(fused=fused),
@@ -120,6 +129,16 @@ def main():
 
     train_dt = time_scanned(train_step, (ps, opt_state), length=12, rtt=rtt)
     train_sps = batch / train_dt
+
+    # Forward-solve NFE at this config (field evaluations per TRAIN solve):
+    # the transport-length-invariant normalizer for cross-config comparison.
+    @jax.jit
+    def train_nfe_of(x):
+        _, _, stats = cnf.inference(icnf, Mode.TRAIN, x, ps, key=key)
+        return stats.nfe
+
+    train_nfe = int(train_nfe_of(xs))
+    field_evals_per_s = train_sps * train_nfe
 
     def eval_step(x, i):
         lp, _, _ = cnf.inference(icnf, Mode.TEST, x, ps)
@@ -153,13 +172,7 @@ def main():
             return (c[0] + 1e-6 * lp[:, None], c[1] + stats.nfe)
 
         dt_fused = time_scanned(fwd_step, (xs, 0), length=8, rtt=rtt)
-
-        @jax.jit
-        def nfe_of(x):
-            _, _, stats = cnf.inference(icnf, Mode.TRAIN, x, ps, key=key)
-            return stats.nfe
-
-        nfe = int(nfe_of(xs))
+        nfe = train_nfe
         # Unfused comparison: the same solve through the plain XLA while_loop.
         icnf_x = mk(False)
 
@@ -181,16 +194,27 @@ def main():
         )
         roofline = {k: (round(v, 3) if isinstance(v, float) else v) for k, v in roofline.items()}
 
+    # Cross-round anchor: the ROUND-1 BUILD re-measured under this
+    # methodology at this config (tools/bench_anchor.py).  No anchor file ->
+    # no trend claim (null), never a mixed-methodology ratio.
+    vs_baseline = None
+    try:
+        with open("BASELINE_ANCHOR.json") as f:
+            anchor = json.load(f)
+        vs_baseline = round(train_sps / anchor["train_samples_per_sec_per_chip"], 3)
+    except (OSError, KeyError, ValueError):
+        anchor = None
+
     print(
         json.dumps(
             {
                 "metric": "train_samples_per_sec_per_chip",
                 "value": round(train_sps, 1),
                 "unit": "samples/s",
-                # Anchor: round-1 measurement on the same chip class
-                # (BENCH_r01.json) — cross-round trend, not a reference ratio.
-                "vs_baseline": round(train_sps / 563561.0, 3),
+                "vs_baseline": vs_baseline,
                 "extras": {
+                    "field_evals_per_sec": round(field_evals_per_s, 1),
+                    "train_nfe_per_solve": train_nfe,
                     "logprob_evals_per_sec": round(eval_sps, 1),
                     "batch": batch,
                     "train_step_ms": round(train_dt * 1e3, 2),
@@ -200,6 +224,8 @@ def main():
                     "fused_kernel": on_tpu,
                     "fused_kernel_roofline": roofline,
                     "solver": "tsit5 rtol=1e-3 atol=1e-6 (reference effective default)",
+                    "tspan": [0.0, 13.0],
+                    "anchor": anchor,
                     "backend": jax.default_backend(),
                     "device": str(jax.devices()[0]),
                 },

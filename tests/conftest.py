@@ -19,6 +19,12 @@ import jax
 if os.environ.get("CNF_TPU_TESTS") != "1":
     jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: XLA compiles dominate suite wall time on this
+# 2-core host; cached executables make repeat runs (the common case) fast.
+if os.environ.get("CNF_NO_COMPILE_CACHE") != "1":
+    jax.config.update("jax_compilation_cache_dir", "/tmp/cnf_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import pytest
 
 

@@ -231,6 +231,7 @@ def test_calibrated_aug_noise_train_only():
     assert not jnp.allclose(lp_t_lit, lp_t_cal)
 
 
+@pytest.mark.slow
 def test_pluggable_basedist_logistic():
     """With a zero vector field the flow is the identity, so inference logp
     must equal basedist.logpdf([x, 0]) exactly and generate must return raw

@@ -87,6 +87,7 @@ def test_adjoint_kernel_active(setup):
     assert make_full_solve(icnf_fused, Mode.TEST, 16).adjoint is not None
 
 
+@pytest.mark.slow
 def test_grad_parity(setup):
     icnf_ref, icnf_fused, ps, xs, eps = setup
     key = jax.random.PRNGKey(4)
@@ -100,6 +101,7 @@ def test_grad_parity(setup):
         assert jnp.allclose(a, b, rtol=2e-3, atol=2e-4), (a - b)
 
 
+@pytest.mark.slow
 def test_grad_parity_test_mode(setup):
     """TEST-mode (exact-trace) gradients through the adjoint megakernel."""
     icnf_ref, icnf_fused, ps, xs, _ = setup
@@ -113,6 +115,7 @@ def test_grad_parity_test_mode(setup):
         assert jnp.allclose(a, b, rtol=2e-3, atol=2e-4), (a - b)
 
 
+@pytest.mark.slow
 def test_grad_wrt_x_parity(setup):
     """Gradients w.r.t. the data (reference call_tests check these exist)."""
     icnf_ref, icnf_fused, ps, xs, eps = setup
@@ -148,6 +151,7 @@ def test_lam3_steer_path(setup):
     assert jnp.allclose(regs_f.a, regs_ref.a, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_k_probe_parity(setup):
     """K=3 Hutchinson probes through the megakernel match the XLA path:
     same controller decisions, same logp/regularizers, consistent grads."""
@@ -199,6 +203,7 @@ def test_k_probe_variance_reduction(setup):
     assert float(err4) < float(err1)
 
 
+@pytest.mark.slow
 def test_bf16_stage_matmuls(setup):
     """bf16 stage matmuls (f32 state/accumulation) track the f32 kernel.
 

@@ -17,12 +17,14 @@ def test_entry_compiles_and_runs():
     assert np.isfinite(float(out))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_self_heals_without_cpu_env():
     """Fresh process with no JAX_PLATFORMS/XLA_FLAGS help: dryrun must fall
     back onto a forced-count CPU mesh by itself (the axon TPU plugin

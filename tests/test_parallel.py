@@ -81,6 +81,7 @@ def test_sharded_train_step_matches_single_device(config):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fit_with_mesh_runs():
     icnf, ps, _ = _setup()
     mesh = make_mesh(MeshConfig(data=8))
@@ -90,6 +91,7 @@ def test_fit_with_mesh_runs():
     assert np.isfinite(res.losses).all()
 
 
+@pytest.mark.slow
 def test_fit_with_mesh_matches_unsharded_fit():
     """`fit(mesh=...)` runs the SAME step body (probe+data sharding, psum
     reductions) as the unsharded fit — a 4x2 mesh fit must reproduce the

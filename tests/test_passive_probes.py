@@ -1,5 +1,6 @@
 """Passive-augmentation probe masking and safe-norm regression tests."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -20,6 +21,7 @@ def test_safe_norm_values_and_zero_gradient():
     np.testing.assert_allclose(np.asarray(g2), [[0.6, 0.8]], rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_passive_adjoint_fast_and_finite():
     # Regression for the ||0|| NaN that made the backward solve creep to
     # max_steps: gradient must be finite and the solve must not exhaust steps.

@@ -1,6 +1,7 @@
 """Training-loop tests (analog of the reference fit tests, 2-epoch smoke +
 semantics of the padded partial batch + checkpoint roundtrip)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -69,6 +70,7 @@ def test_fit_uneven_batches():
     assert np.isfinite(res.losses).all()
 
 
+@pytest.mark.slow
 def test_loss_decreases_on_easy_data():
     model = _model(n_epochs=12, batch_size=32)
     X = 0.25 + 0.05 * jax.random.normal(jax.random.PRNGKey(5), (128, 2))
@@ -76,6 +78,7 @@ def test_loss_decreases_on_easy_data():
     assert res.losses[-1] < res.losses[0]
 
 
+@pytest.mark.slow
 def test_multiple_optimizers_sequential():
     base = _model(n_epochs=1)
     model = cnf.ICNFModel(
@@ -104,6 +107,7 @@ def test_warm_start_from_checkpoint(tmp_path):
     assert np.isfinite(res2.losses).all()
 
 
+@pytest.mark.slow
 def test_exact_resume_from_state_checkpoint(tmp_path):
     """Kill-and-resume equivalence: training N epochs straight through equals
     training to a mid-run (ps, opt_state, epoch) snapshot, restarting from it

