@@ -314,11 +314,27 @@ def _solve_fixed_scan(f, tab, y0, t0, t1, num_steps: int):
 
 
 def _solve_forward_flat(func_flat, opts: SolverOptions, y0f, t0, t1, args):
-    """Dispatch the non-custom-vjp solve paths on the flat state."""
-    tab = get_tableau(opts.method, opts.rtol)
+    """Dispatch the non-custom-vjp solve paths on the flat state.
 
-    def f(t, yf):
-        return func_flat(yf, t, args)
+    The field is traced under `stage_precision` matmul precision (default
+    HIGHEST): on TPU the default single-pass-bf16 MXU rounding (~1e-3
+    relative) sits at the solver's rtol target, so the embedded error
+    estimate measures matmul noise instead of truncation error and the
+    controller grinds at a tiny-dt noise floor — 10-100x the needed steps
+    (measured: TEST rtol=1e-5 on the flagship took 10,000 capped steps at
+    default precision vs ~30 on f32 CPU).  Honest f32 stages cost ~3x per
+    matmul and repay it tenfold in step count.
+    """
+    tab = get_tableau(opts.method, opts.rtol)
+    prec = getattr(opts, "stage_precision", "highest")
+
+    if prec == "default":
+        def f(t, yf):
+            return func_flat(yf, t, args)
+    else:
+        def f(t, yf):
+            with jax.default_matmul_precision(prec):
+                return func_flat(yf, t, args)
 
     if opts.fixed_num_steps is not None:
         return _solve_fixed_scan(f, tab, y0f, t0, t1, opts.fixed_num_steps)

@@ -76,11 +76,25 @@ def _safe_col_norm(v: jax.Array) -> jax.Array:
 
 def _mm(a, b, dims, bf16: bool):
     """Stage matmul: optionally bf16 inputs (the MXU's native width — f32
-    matmuls are emulated in multiple bf16 passes) with f32 accumulation."""
+    matmuls are emulated in multiple bf16 passes) with f32 accumulation.
+
+    The f32 path pins Precision.HIGHEST: the MXU's default single-pass bf16
+    rounding (~1e-3 relative) sits exactly at the solver's rtol=1e-3 error
+    target, so the embedded error estimate measures matmul noise instead of
+    truncation error and the controller grinds at a tiny-dt noise floor
+    (10-100x the mathematically needed step count — see docs/ROOFLINE.md).
+    Honest f32 stages cost ~3x per matmul and repay it tenfold in steps.
+    """
     if bf16:
         a = a.astype(jnp.bfloat16)
         b = b.astype(jnp.bfloat16)
-    return jax.lax.dot_general(a, b, (dims, ((), ())), preferred_element_type=jnp.float32)
+        return jax.lax.dot_general(
+            a, b, (dims, ((), ())), preferred_element_type=jnp.float32)
+    return jax.lax.dot_general(
+        a, b, (dims, ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _stage_train(

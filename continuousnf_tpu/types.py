@@ -162,6 +162,14 @@ class SolverOptions:
     # every iteration costs one step's compute even after convergence, so keep
     # it modest.
     direct_max_steps: int = 512
+    # Matmul precision the vector field is traced at inside the solver
+    # ("highest" | "float32" | "default").  On TPU, "default" feeds f32
+    # operands through the MXU's single-pass bf16 mode (~1e-3 relative
+    # rounding) — at the solver's own rtol that noise floods the embedded
+    # error estimate and the controller grinds at a tiny-dt noise floor
+    # (measured 10-100x step inflation; see `ode/solve._solve_forward_flat`).
+    # HIGHEST costs ~3x per matmul and repays it tenfold in step count.
+    stage_precision: str = "highest"
 
 
 #: The reference README's recommended tight tolerances

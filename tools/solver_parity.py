@@ -88,13 +88,17 @@ def main() -> None:
     rows = []
     stiff_rows = []
     for ps_name, ps in ps_sets.items():
-        # Ground truth: dop853 at rtol 1e-9.
-        gt_icnf = make(SolverOptions(method="dop853", rtol=1e-9, atol=1e-12,
+        # Ground truth: dop853 at the tightest f32-honest tolerance (rtol
+        # 3e-6 ~ 30x f32 eps; atol 1e-9).  Tighter pairs (e.g. 1e-9/1e-12)
+        # sit below f32 rounding: the controller grinds at a noise-floor dt
+        # and the "ground truth" never converges.
+        gt_icnf = make(SolverOptions(method="dop853", rtol=3e-6, atol=1e-9,
                                      adjoint=Adjoint.NONE))
         lp_gt, _, st_gt = jax.jit(
             lambda xs, p: inference(gt_icnf, Mode.TEST, xs, p),
             static_argnums=(),
         )(r, ps)
+        assert int(st_gt.steps) < gt_icnf.solver.max_steps, "GT solve unconverged"
         lp_gt = np.asarray(lp_gt)
 
         for tol_name, (rtol, atol) in TOL_PAIRS.items():
