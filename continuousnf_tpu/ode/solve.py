@@ -379,10 +379,26 @@ def odeint_with_stats(
     t0 = jnp.asarray(t0, y0f.dtype)
     t1 = jnp.asarray(t1, y0f.dtype)
 
-    def func_flat(yf, t, args_):
-        dy = func(t, unravel(yf), args_)
-        dyf, _ = ravel_pytree(dy)
-        return dyf
+    # The precision context MUST live inside func_flat, not around the solver
+    # loops: the BACKSOLVE path bakes the field into a jaxpr via
+    # `jax.closure_convert` (adjoint.py) at wrapper-construction time, so any
+    # context applied later (around the while_loop/scan body) never reaches
+    # the already-traced dot ops.  Wrapping here puts every trace of the
+    # field — forward solve, adjoint re-integration, DIRECT scan — under the
+    # requested precision, and the VJP of ops created here inherits it.
+    prec = getattr(opts, "stage_precision", "highest")
+
+    if prec == "default":
+        def func_flat(yf, t, args_):
+            dy = func(t, unravel(yf), args_)
+            dyf, _ = ravel_pytree(dy)
+            return dyf
+    else:
+        def func_flat(yf, t, args_):
+            with jax.default_matmul_precision(prec):
+                dy = func(t, unravel(yf), args_)
+            dyf, _ = ravel_pytree(dy)
+            return dyf
 
     if opts.adjoint == Adjoint.BACKSOLVE and opts.fixed_num_steps is None:
         from .adjoint import odeint_backsolve_flat

@@ -176,6 +176,9 @@ def main() -> None:
     )
     ap.add_argument("--resume", action="store_true",
                     help="resume bit-exactly from --live-ckpt if it exists")
+    ap.add_argument("--init-ckpt", default="",
+                    help="warm-start params from this msgpack checkpoint "
+                    "(fresh optimizer state and epoch counter)")
     ap.add_argument("--cpu", action="store_true",
                     help="pin the CPU backend (smoke tests; the env var "
                     "JAX_PLATFORMS is stripped on this runtime)")
@@ -277,6 +280,13 @@ def main() -> None:
         save_checkpoint(live_ckpt, {"ps": ps, "opt": opt_state, "epoch": epoch})
 
     resume_kw = {}
+    if args.init_ckpt:
+        from continuousnf_tpu.core.icnf import init_params
+
+        init_key, _ = jax.random.split(fit_key)
+        ps0 = init_params(icnf, init_key)
+        resume_kw["ps"] = load_checkpoint(args.init_ckpt, ps0)
+        print(json.dumps({"warm_started_from": args.init_ckpt}), flush=True)
     if args.resume and os.path.exists(live_ckpt):
         from continuousnf_tpu.core.icnf import init_params
 
