@@ -77,7 +77,8 @@ def build(config: str, seed: int, epochs: int, lr: float, batch_size: int,
           schedule: str = "const", width_mult: int = 3,
           exact_trace: bool = False, opt_name: str = "lion",
           clip: float = 0.0, train_rtol: float = 0.0, method: str = "",
-          direct_max_steps: int = 0):
+          direct_max_steps: int = 0, lam12: float = -1.0,
+          steer_rate: float = 0.1):
     import dataclasses as dc
 
     from continuousnf_tpu.types import Adjoint
@@ -108,11 +109,13 @@ def build(config: str, seed: int, epochs: int, lr: float, batch_size: int,
     r = dist.sample(data_key, (n, nvars))
     from continuousnf_tpu.types import VecJacMode
 
+    lam_kw = {} if lam12 < 0 else {"lam1": lam12, "lam2": lam12}
     icnf = construct(
         RNODE, nn, nvars, naug,
-        tspan=(0.0, 13.0), steer_rate=0.1, lam3=1e-2, solver=solver,
+        tspan=(0.0, 13.0), steer_rate=steer_rate, lam3=1e-2, solver=solver,
         aug_noise=aug_noise,
         compute_mode=VecJacMode(num_probes=probes, exact_trace=exact_trace),
+        **lam_kw,
     )
     # Optimisers.jl's Lion rule is decay-free (decay is composed separately
     # via OptimiserChain there); optax.lion silently defaults wd=1e-3, so an
@@ -168,6 +171,15 @@ def main() -> None:
     ap.add_argument("--method", default="", help="override the solver method")
     ap.add_argument("--direct-max-steps", type=int, default=0,
                     help="scan bound for the DIRECT adjoint (0 = default 512)")
+    ap.add_argument("--steer-rate", type=float, default=0.1,
+                    help="TRAIN t1 jitter rate (reference config: 0.1). "
+                    "0 trains exactly the t1=13 eval estimand — used by the "
+                    "fine-tune phase")
+    ap.add_argument("--lam12", type=float, default=-1.0,
+                    help="override lambda1=lambda2 (RNODE kinetic/Jacobian "
+                    "regularizers; -1 = RNODE defaults 1e-2).  The lambdas "
+                    "stabilize training but bias the learned density; a "
+                    "zero-lambda fine-tune phase measures/removes that bias")
     ap.add_argument(
         "--live-ckpt", default="",
         help="msgpack path for periodic (ps, opt_state, epoch) snapshots; a "
@@ -196,6 +208,7 @@ def main() -> None:
         args.aug_noise, args.b2, args.wd, args.naug, args.probes,
         args.schedule, args.width_mult, args.exact_trace, args.opt,
         args.clip, args.train_rtol, args.method, args.direct_max_steps,
+        args.lam12, args.steer_rate,
     )
 
     # TestMode scoring may use tighter tolerances than training: the gate
@@ -336,6 +349,9 @@ def main() -> None:
             "schedule": args.schedule,
             "width_mult": args.width_mult,
             "eval_rtol": args.eval_rtol,
+            "lam12": args.lam12,
+            "steer_rate": args.steer_rate,
+            "init_ckpt": args.init_ckpt,
             "wall_s": round(time.time() - t0, 1),
             "final": {k: final.get(k) for k in (
                 "mad", "msd", "tv", "tv_norm", "log_mad", "log_mad_perdim", "mad_rel")},
