@@ -191,6 +191,13 @@ def main() -> None:
     ap.add_argument("--init-ckpt", default="",
                     help="warm-start params from this msgpack checkpoint "
                     "(fresh optimizer state and epoch counter)")
+    ap.add_argument("--tail-avg", type=float, default=0.0,
+                    help="Polyak-Ruppert tail averaging: uniformly average "
+                    "param snapshots (at the --eval-every cadence) over the "
+                    "last FRAC of epochs and ALSO score the gate at the "
+                    "averaged params (SUMMARY key final_avg).  A "
+                    "training-schedule choice, not checkpoint selection: the "
+                    "averaged iterate is the procedure's single final output")
     ap.add_argument("--cpu", action="store_true",
                     help="pin the CPU backend (smoke tests; the env var "
                     "JAX_PLATFORMS is stripped on this runtime)")
@@ -260,8 +267,23 @@ def main() -> None:
         return float(np.mean(np.exp(np.asarray(lp)) / grid_p))
 
     history = []
+    # Polyak-Ruppert tail average: running uniform mean of param snapshots
+    # over the last `--tail-avg` fraction of epochs (at the eval cadence).
+    avg = {"ps": None, "n": 0, "from_epoch": int((1.0 - args.tail_avg) * args.epochs)}
+
+    def _accumulate(ps):
+        host = jax.tree.map(lambda x: np.asarray(x, dtype=np.float64), ps)
+        if avg["ps"] is None:
+            avg["ps"], avg["n"] = host, 1
+        else:
+            avg["n"] += 1
+            w = 1.0 / avg["n"]
+            avg["ps"] = jax.tree.map(
+                lambda m, x: m + w * (x - m), avg["ps"], host)
 
     def evaluate(epoch, ps):
+        if args.tail_avg > 0.0 and epoch >= avg["from_epoch"]:
+            _accumulate(ps)
         lp, nfe = score_full(ps, r)
         est = np.asarray(jnp.exp(lp))
         m = gate_metrics(est, actual, icnf.nvars)
@@ -327,6 +349,16 @@ def main() -> None:
             save_checkpoint(args.save_ckpt, result.ps)
     finally:
         final = history[-1] if history else {}
+        final_avg = None
+        if result is not None and avg["ps"] is not None:
+            ps_avg = jax.tree.map(
+                lambda x: jnp.asarray(x, icnf.dtype), avg["ps"])
+            lp, _ = score_full(ps_avg, r)
+            est = np.asarray(jnp.exp(lp))
+            final_avg = gate_metrics(est, actual, icnf.nvars)
+            final_avg["snapshots"] = avg["n"]
+            if args.save_ckpt:
+                save_checkpoint(args.save_ckpt + ".avg", ps_avg)
         summary = {
             "config": args.config,
             "seed": args.seed,
@@ -358,6 +390,11 @@ def main() -> None:
             "best_mad": min((h["mad"] for h in history), default=None),
             "best_epoch": min(history, key=lambda h: h["mad"])["epoch"] if history else None,
             "best_tv_norm": min((h["tv_norm"] for h in history), default=None),
+            "tail_avg": args.tail_avg,
+            "final_avg": final_avg,
+            "passes_norm_avg": bool(final_avg)
+            and final_avg["tv_norm"] <= 0.1
+            and final_avg["log_mad_perdim"] <= 0.1,
             "passes": bool(final) and result is not None
             and final["mad"] <= 0.1 and final["msd"] <= 0.1 and final["tv"] <= 0.1,
             # Scale-consistent gate for multi-D configs (docs/FLAGSHIP_GATE.md):
