@@ -263,8 +263,8 @@ def main() -> None:
     def slice_mass(ps) -> float:
         lp = score(ps, grid)
         if grid_p is None:
-            return float(jnp.trapezoid(jnp.exp(lp), grid[:, 0]))
-        return float(np.mean(np.exp(np.asarray(lp)) / grid_p))
+            return float(jnp.trapezoid(jnp.exp(lp), grid[:, 0])) * slice_factor
+        return float(np.mean(np.exp(np.asarray(lp)) / grid_p)) * slice_factor
 
     history = []
     # Polyak-Ruppert tail average: running uniform mean of param snapshots
@@ -281,11 +281,22 @@ def main() -> None:
             avg["ps"] = jax.tree.map(
                 lambda m, x: m + w * (x - m), avg["ps"], host)
 
+    # Factorized-slice calibration: with TRAIN aug inputs ~ N(0, s^2), the
+    # model's joint is p16(x, a) ~= p8(x) * N(a; 0, s^2 I), so the slice
+    # p16(x, 0) estimates p8(x) * (2*pi*s^2)^{-naug/2}.  Multiplying by the
+    # analytic constant (s*sqrt(2*pi))^{naug} recovers p8.  At the calibrated
+    # sigma = (2*pi)^{-1/2} the constant is exactly 1 (the round-2 design);
+    # any other sigma is equally principled once corrected.
+    slice_factor = 1.0
+    if args.aug_noise > 0.0 and icnf.n_aug_input:
+        slice_factor = float(
+            (args.aug_noise * np.sqrt(2 * np.pi)) ** icnf.n_aug_input)
+
     def evaluate(epoch, ps):
         if args.tail_avg > 0.0 and epoch >= avg["from_epoch"]:
             _accumulate(ps)
         lp, nfe = score_full(ps, r)
-        est = np.asarray(jnp.exp(lp))
+        est = np.asarray(jnp.exp(lp)) * slice_factor
         m = gate_metrics(est, actual, icnf.nvars)
         z = slice_mass(ps)
         m_shape = gate_metrics(est / max(z, 1e-30), actual, icnf.nvars)
@@ -354,7 +365,7 @@ def main() -> None:
             ps_avg = jax.tree.map(
                 lambda x: jnp.asarray(x, icnf.dtype), avg["ps"])
             lp, _ = score_full(ps_avg, r)
-            est = np.asarray(jnp.exp(lp))
+            est = np.asarray(jnp.exp(lp)) * slice_factor
             final_avg = gate_metrics(est, actual, icnf.nvars)
             final_avg["snapshots"] = avg["n"]
             if args.save_ckpt:
