@@ -260,9 +260,14 @@ def make_augmented_dynamics(
         # Closed-form exact divergence for 2-layer tanh MLPs: one forward
         # pass + einsum instead of d AD passes.  Exact math, so it is used
         # whenever the architecture matches (not gated behind a flag).
-        from ..ops.fused_dynamics import supports_fusion
+        from ..ops.fused_dynamics import is_dense_tanh_chain, supports_fusion
 
         closed_form = supports_fusion(nn) and passive_aug_dims == 0
+        # N-layer Dense/tanh chains (e.g. the 3-layer tabular MLPs): exact
+        # Jacobian as a batched chain product instead of d AD passes.
+        chain_form = (
+            not closed_form and is_dense_tanh_chain(nn) and passive_aug_dims == 0
+        )
         from ..nets.planar import PlanarLayer
 
         planar_form = isinstance(nn, PlanarLayer) and passive_aug_dims == 0
@@ -275,6 +280,11 @@ def make_augmented_dynamics(
                 from ..ops.fused_dynamics import exact_tanh_mlp_trace
 
                 dz, tr = exact_tanh_mlp_trace(args["ps"], state.z)
+            elif chain_form and args.get("ys") is None:
+                from ..ops.fused_dynamics import exact_dense_chain_jacobian
+
+                dz, jac = exact_dense_chain_jacobian(nn, args["ps"], state.z)
+                tr = jnp.trace(jac, axis1=-2, axis2=-1)
             elif planar_form:
                 dz, tr = _planar_exact(nn, args["ps"], state.z, args.get("ys"))
             else:
@@ -286,14 +296,23 @@ def make_augmented_dynamics(
     if compute_mode.exact_trace:
         # TRAIN with the exact divergence + exact ||J||_F rate (zero-variance
         # analog of the Hutchinson estimator; see ComputeMode.exact_trace).
-        from ..ops.fused_dynamics import supports_fusion
+        from ..ops.fused_dynamics import is_dense_tanh_chain, supports_fusion
 
         closed_form = supports_fusion(nn) and passive_aug_dims == 0
+        chain_form = (
+            not closed_form and is_dense_tanh_chain(nn) and passive_aug_dims == 0
+        )
         exact_tf = _exact_train_field(nn_apply, compute_mode)
 
         def f_train_exact(t, state: TrainState, args):
             if closed_form and args.get("ys") is None:
                 dz, tr, fro = exact_tanh_mlp_trace_fro(args["ps"], state.z)
+            elif chain_form and args.get("ys") is None:
+                from ..ops.fused_dynamics import exact_dense_chain_jacobian
+
+                dz, jac = exact_dense_chain_jacobian(nn, args["ps"], state.z)
+                tr = jnp.trace(jac, axis1=-2, axis2=-1)
+                fro = safe_norm(jac.reshape(jac.shape[0], -1))
             else:
                 dz, tr, fro = exact_tf(args["ps"], state.z, args.get("ys"))
             zero = jnp.zeros_like(tr)

@@ -161,6 +161,54 @@ def exact_tanh_mlp_trace(params, z: jax.Array):
     return y, tr
 
 
+def is_dense_tanh_chain(nn) -> bool:
+    """True for any Chain of Dense layers with tanh-or-identity activations —
+    the family the closed-form N-layer Jacobian (`exact_dense_chain_jacobian`)
+    covers.  Supersedes `supports_fusion` for exactness (that predicate also
+    gates the fused Pallas TRAIN kernel, which is 2-layer-specific)."""
+    from ..nets.modules import Chain, Dense
+
+    if not isinstance(nn, Chain) or not nn.layers:
+        return False
+    return all(
+        isinstance(l, Dense) and (l.activation is jnp.tanh or l.activation is None)
+        for l in nn.layers
+    )
+
+
+def exact_dense_chain_jacobian(nn, params, z: jax.Array):
+    """Closed-form (y, J) of an N-layer Dense chain; J has shape (B, d, d).
+
+    Each layer h_k = act(h_{k-1} @ W_k + b_k) contributes the per-sample
+    Jacobian factor  d h_k / d h_{k-1} = W_k * act'_k  (column scaling by the
+    activation derivative), so J is the batched left-to-right chain product —
+    cost O(B * d * sum_k H_k) matmul FLOPs with one (B, d, H) tensor alive,
+    vs the d AD passes of the generic identity-basis path (the analog of the
+    reference's `jacobian_batched`, `/root/reference/src/utils.jl:1-54`).
+    Exact math, no estimator: used for TEST densities and exact-divergence
+    TRAIN whenever the architecture matches (e.g. the 3-layer tabular MLPs).
+    """
+    h = z
+    J = None
+    for layer, p in zip(nn.layers, params):
+        a = h @ p["w"]
+        if layer.use_bias:
+            a = a + p["b"]
+        if layer.activation is jnp.tanh:
+            h = jnp.tanh(a)
+            d = 1.0 - h * h  # (B, H_k)
+        else:
+            h = a
+            d = None
+        if J is None:
+            J = jnp.broadcast_to(p["w"], (z.shape[0], *p["w"].shape))
+        else:
+            J = jnp.einsum("bij,jk->bik", J, p["w"])
+        if d is not None:
+            J = J * d[:, None, :]
+    return h, J
+
+
 def supports_fusion(nn) -> bool:
     """True when `nn` is a 2-layer tanh-MLP Chain the kernel covers."""
     from ..nets.modules import Chain, Dense

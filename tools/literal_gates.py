@@ -78,13 +78,17 @@ def build(config: str, seed: int, epochs: int, lr: float, batch_size: int,
           exact_trace: bool = False, opt_name: str = "lion",
           clip: float = 0.0, train_rtol: float = 0.0, method: str = "",
           direct_max_steps: int = 0, lam12: float = -1.0,
-          steer_rate: float = 0.1):
+          steer_rate: float = 0.1, x_jitter: float = 0.0,
+          init_seed: int = -1):
     import dataclasses as dc
 
     from continuousnf_tpu.types import Adjoint
 
     key = jax.random.PRNGKey(seed)
     data_key, fit_key = jax.random.split(key)
+    if init_seed >= 0:
+        # Ensemble member: same data (seed), independent init/batch-order.
+        fit_key = jax.random.fold_in(jax.random.PRNGKey(20_000), init_seed)
     dist = Beta(2.0, 4.0)
     n = 1024
     if config == "readme":
@@ -113,7 +117,7 @@ def build(config: str, seed: int, epochs: int, lr: float, batch_size: int,
     icnf = construct(
         RNODE, nn, nvars, naug,
         tspan=(0.0, 13.0), steer_rate=steer_rate, lam3=1e-2, solver=solver,
-        aug_noise=aug_noise,
+        aug_noise=aug_noise, x_jitter=x_jitter,
         compute_mode=VecJacMode(num_probes=probes, exact_trace=exact_trace),
         **lam_kw,
     )
@@ -191,6 +195,13 @@ def main() -> None:
     ap.add_argument("--init-ckpt", default="",
                     help="warm-start params from this msgpack checkpoint "
                     "(fresh optimizer state and epoch counter)")
+    ap.add_argument("--init-seed", type=int, default=-1,
+                    help="decouple the init/batch-order seed from the data "
+                    "seed (-1 = derive both from --seed).  Ensemble members "
+                    "share --seed (the data) and differ in --init-seed")
+    ap.add_argument("--x-jitter", type=float, default=0.0,
+                    help="TRAIN data-input jitter std (smoothed MLE; the CNF "
+                    "analog of KDE bandwidth — see ICNF.x_jitter)")
     ap.add_argument("--tail-avg", type=float, default=0.0,
                     help="Polyak-Ruppert tail averaging: uniformly average "
                     "param snapshots (at the --eval-every cadence) over the "
@@ -215,7 +226,7 @@ def main() -> None:
         args.aug_noise, args.b2, args.wd, args.naug, args.probes,
         args.schedule, args.width_mult, args.exact_trace, args.opt,
         args.clip, args.train_rtol, args.method, args.direct_max_steps,
-        args.lam12, args.steer_rate,
+        args.lam12, args.steer_rate, args.x_jitter, args.init_seed,
     )
 
     # TestMode scoring may use tighter tolerances than training: the gate
@@ -292,11 +303,21 @@ def main() -> None:
         slice_factor = float(
             (args.aug_noise * np.sqrt(2 * np.pi)) ** icnf.n_aug_input)
 
+    # Density-space tail average: the mean of the tail evals' est vectors
+    # (a uniform mixture of the late-trajectory models — function-space
+    # Polyak averaging; param-space averaging of a nonlinear net is not the
+    # same animal and measurably does nothing here).
+    est_avg = {"sum": None, "n": 0}
+
     def evaluate(epoch, ps):
-        if args.tail_avg > 0.0 and epoch >= avg["from_epoch"]:
+        in_tail = args.tail_avg > 0.0 and epoch >= avg["from_epoch"]
+        if in_tail:
             _accumulate(ps)
         lp, nfe = score_full(ps, r)
         est = np.asarray(jnp.exp(lp)) * slice_factor
+        if in_tail:
+            est_avg["sum"] = est if est_avg["sum"] is None else est_avg["sum"] + est
+            est_avg["n"] += 1
         m = gate_metrics(est, actual, icnf.nvars)
         z = slice_mass(ps)
         m_shape = gate_metrics(est / max(z, 1e-30), actual, icnf.nvars)
@@ -370,6 +391,11 @@ def main() -> None:
             final_avg["snapshots"] = avg["n"]
             if args.save_ckpt:
                 save_checkpoint(args.save_ckpt + ".avg", ps_avg)
+        final_destavg = None
+        if est_avg["n"]:
+            final_destavg = gate_metrics(
+                est_avg["sum"] / est_avg["n"], actual, icnf.nvars)
+            final_destavg["snapshots"] = est_avg["n"]
         summary = {
             "config": args.config,
             "seed": args.seed,
@@ -394,6 +420,8 @@ def main() -> None:
             "eval_rtol": args.eval_rtol,
             "lam12": args.lam12,
             "steer_rate": args.steer_rate,
+            "x_jitter": args.x_jitter,
+            "init_seed": args.init_seed,
             "init_ckpt": args.init_ckpt,
             "wall_s": round(time.time() - t0, 1),
             "final": {k: final.get(k) for k in (
@@ -403,6 +431,10 @@ def main() -> None:
             "best_tv_norm": min((h["tv_norm"] for h in history), default=None),
             "tail_avg": args.tail_avg,
             "final_avg": final_avg,
+            "final_destavg": final_destavg,
+            "passes_norm_destavg": bool(final_destavg)
+            and final_destavg["tv_norm"] <= 0.1
+            and final_destavg["log_mad_perdim"] <= 0.1,
             "passes_norm_avg": bool(final_avg)
             and final_avg["tv_norm"] <= 0.1
             and final_avg["log_mad_perdim"] <= 0.1,
