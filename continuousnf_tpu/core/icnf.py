@@ -138,6 +138,18 @@ class ICNF:
     # estimation variance at small n.  0 (default) trains on the data
     # verbatim like the reference.  TEST mode never jitters.
     x_jitter: float = 0.0
+    # Fixed elementwise input bijector composed with the flow ("logit" or
+    # None).  With "logit" the CNF transports t = logit(x) (unbounded
+    # support, Gaussian-friendly tails) and densities/samples are corrected
+    # through the analytic change of variables:
+    #     log p(x) = log p_flow(logit(x)) - sum_i [log x_i + log(1 - x_i)]
+    #     sample   = sigmoid(flow sample)
+    # The standard preprocessing for compactly-supported data: a smooth
+    # Gaussian-base flow on raw [0,1]^d support leaks mass past the boundary
+    # (measured in REGRESSION.md); in logit space the target is light-tailed
+    # on R^d.  Applies to the `nvars` data dims only — augmented dims live in
+    # flow space.  None (default) = reference-literal raw coordinates.
+    input_bijector: Optional[str] = None
 
     @property
     def augmented(self) -> bool:
@@ -212,6 +224,7 @@ def construct(
     aug_passive: bool = False,
     aug_noise: Any = 0.0,
     x_jitter: float = 0.0,
+    input_bijector: Optional[str] = None,
 ) -> ICNF:
     """The single public constructor (reference `construct`,
     `/root/reference/src/base_icnf.jl:1-77`).
@@ -235,6 +248,8 @@ def construct(
             )
     if aug_noise == "calibrated":
         aug_noise = CALIBRATED_AUG_SIGMA
+    if input_bijector not in (None, "logit"):
+        raise ValueError(f"unsupported input_bijector: {input_bijector!r}")
     if not (isinstance(variant, type) and issubclass(variant, _VariantTag)):
         raise TypeError(f"variant must be one of the ICNF tags, got {variant!r}")
     is_rnode = issubclass(variant, _RNODE_VARIANTS)
@@ -262,6 +277,7 @@ def construct(
         aug_passive=bool(aug_passive),
         aug_noise=float(aug_noise),
         x_jitter=float(x_jitter),
+        input_bijector=input_bijector,
     )
 
 
@@ -372,6 +388,14 @@ def inference(
 
     check_array("xs", xs, last_dim=icnf.nvars, dtype=icnf.dtype)
 
+    ldj = None
+    if icnf.input_bijector == "logit":
+        # Flow works on t = logit(x); log p(x) = log p_flow(t) + sum log|t'|.
+        tiny = jnp.asarray(1e-6, icnf.dtype)
+        xc = jnp.clip(xs, tiny, 1.0 - tiny)
+        ldj = -jnp.sum(jnp.log(xc) + jnp.log1p(-xc), axis=-1)
+        xs = jnp.log(xc) - jnp.log1p(-xc)
+
     z0 = xs
     if icnf.n_aug_input:
         z0 = jnp.concatenate([xs, jnp.zeros((B, icnf.n_aug_input), icnf.dtype)], axis=-1)
@@ -423,6 +447,8 @@ def inference(
     stateT, stats = _solve(icnf, mode, state0, args, t0, t1)
     logpz = icnf.base_logpdf(stateT.z)
     logpx = logpz - stateT.dlogp
+    if ldj is not None:
+        logpx = logpx + ldj
     regs = _final_regs(icnf, mode, stateT)
 
     if squeeze:
@@ -475,6 +501,8 @@ def generate(
     # `src/base_icnf.jl:329`).
     state0, stats = _solve(icnf, mode, state1, args, t1, t0)
     samples = state0.z[:, : icnf.nvars]
+    if icnf.input_bijector == "logit":
+        samples = jax.nn.sigmoid(samples)
     if squeeze:
         samples = samples[0]
     if with_stats:

@@ -75,6 +75,18 @@ def main():
     lp_j = jax.jit(lambda p: cnf.inference(icnfj, Mode.TEST, x6, p)[0])(ps3)
     out["x_jitter_test_delta"] = float(jnp.max(jnp.abs(lp_j - lp_c)))
 
+    # 3b) logit input bijector: change-of-variables identity, on chip
+    icnfL = dc.replace(icnf3, input_bijector="logit")
+    xu = jax.random.uniform(jax.random.PRNGKey(11), (64, 6), minval=0.05, maxval=0.95)
+    lp_L = jax.jit(lambda p: cnf.inference(icnfL, Mode.TEST, xu, p)[0])(ps3)
+    tL = jnp.log(xu) - jnp.log1p(-xu)
+    lp_raw = jax.jit(lambda p: cnf.inference(icnf3, Mode.TEST, tL, p)[0])(ps3)
+    ldj = -jnp.sum(jnp.log(xu) + jnp.log1p(-xu), axis=-1)
+    out["logit_cov_identity_max_err"] = float(jnp.max(jnp.abs(lp_L - (lp_raw + ldj))))
+    gs = cnf.generate(icnfL, Mode.TEST, ps3, 128, key=jax.random.PRNGKey(12))
+    g = np.asarray(gs)
+    out["logit_generate_in_unit_box"] = bool((g > 0).all() and (g < 1).all())
+
     # 4) conditional + fused=True must fall back cleanly
     nnc = cnf.MLP((6, 12, 4))
     icnfc = cnf.construct(cnf.CondRNODE, nnc, 2, 2,

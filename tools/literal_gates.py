@@ -79,7 +79,7 @@ def build(config: str, seed: int, epochs: int, lr: float, batch_size: int,
           clip: float = 0.0, train_rtol: float = 0.0, method: str = "",
           direct_max_steps: int = 0, lam12: float = -1.0,
           steer_rate: float = 0.1, x_jitter: float = 0.0,
-          init_seed: int = -1):
+          init_seed: int = -1, lam3: float = 1e-2, logit: bool = False):
     import dataclasses as dc
 
     from continuousnf_tpu.types import Adjoint
@@ -116,8 +116,9 @@ def build(config: str, seed: int, epochs: int, lr: float, batch_size: int,
     lam_kw = {} if lam12 < 0 else {"lam1": lam12, "lam2": lam12}
     icnf = construct(
         RNODE, nn, nvars, naug,
-        tspan=(0.0, 13.0), steer_rate=steer_rate, lam3=1e-2, solver=solver,
+        tspan=(0.0, 13.0), steer_rate=steer_rate, lam3=lam3, solver=solver,
         aug_noise=aug_noise, x_jitter=x_jitter,
+        input_bijector="logit" if logit else None,
         compute_mode=VecJacMode(num_probes=probes, exact_trace=exact_trace),
         **lam_kw,
     )
@@ -195,6 +196,15 @@ def main() -> None:
     ap.add_argument("--init-ckpt", default="",
                     help="warm-start params from this msgpack checkpoint "
                     "(fresh optimizer state and epoch counter)")
+    ap.add_argument("--logit", action="store_true",
+                    help="compose the flow with a fixed logit input bijector "
+                    "(train in logit space; densities corrected by the "
+                    "analytic Jacobian — see ICNF.input_bijector)")
+    ap.add_argument("--lam3", type=float, default=1e-2,
+                    help="norm_z_aug weight (reference config: 1e-2).  With "
+                    "calibrated aug noise the lam3 pull toward z_aug(t1)=0 "
+                    "fights the noise-MLE optimum (z_aug ~ base marginal); "
+                    "0 removes that tension")
     ap.add_argument("--init-seed", type=int, default=-1,
                     help="decouple the init/batch-order seed from the data "
                     "seed (-1 = derive both from --seed).  Ensemble members "
@@ -227,6 +237,7 @@ def main() -> None:
         args.schedule, args.width_mult, args.exact_trace, args.opt,
         args.clip, args.train_rtol, args.method, args.direct_max_steps,
         args.lam12, args.steer_rate, args.x_jitter, args.init_seed,
+        args.lam3, args.logit,
     )
 
     # TestMode scoring may use tighter tolerances than training: the gate
@@ -422,6 +433,8 @@ def main() -> None:
             "steer_rate": args.steer_rate,
             "x_jitter": args.x_jitter,
             "init_seed": args.init_seed,
+            "lam3": args.lam3,
+            "logit": args.logit,
             "init_ckpt": args.init_ckpt,
             "wall_s": round(time.time() - t0, 1),
             "final": {k: final.get(k) for k in (

@@ -195,6 +195,7 @@ def main():
             f"{flag.get('opt', 'lion')} lr={flag['lr']:g} "
             f"schedule={flag.get('schedule', 'const')}, "
             f"{'exact divergence' if flag.get('exact_trace') else '1-probe Hutchinson'}, "
+            f"{'logit input bijector, ' if flag.get('logit') else ''}"
             f"adjoint={flag.get('adjoint')}, {flag['epochs']} epochs, "
             f"batch {flag['batch_size']}, eval rtol={flag.get('eval_rtol', 0):g} "
             f"(`experiments/logs/{FLAGSHIP_RUN}.jsonl`, {flag['wall_s']:.0f}s)",
