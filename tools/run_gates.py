@@ -277,31 +277,53 @@ def main():
         "18.7 at 10× that budget (rows above) — the gap to 0.1 is a property "
         "of the task scale, not of this implementation.",
         "",
-        "## Seed robustness (readme calibrated, 300 epochs)",
+        "## Seed robustness — one fixed recipe, all seeds (round 3)",
         "",
-        "| seed | lr | final mad | passes |",
+        "README 1-D config, fixed recipe: 2000-epoch cosine Lion 3e-4, exact "
+        "divergence, calibrated augmentation, logit input bijector, "
+        "tail-avg 0.5.  The reference pins StableRNG(1); three seeds at one "
+        "configuration demonstrate the capability rather than a coin flip.",
+        "",
+        "| seed | final mad | final tv_norm | passes (mad ≤ 0.1) |",
         "|---|---|---|---|",
     ]
     for label, k in [
-        ("1", "readme_cal_lr3e4_s1"), ("2", "readme_cal_lr3e4_s2"),
-        ("3", "readme_cal_lr3e4_s3"), ("1", "readme_cal_lr1e3"),
-        ("2", "readme_cal_s2"), ("3", "readme_cal_s3"),
+        ("1", "readme_r3_final_s1"), ("2", "readme_r3_final_s2"),
+        ("3", "readme_r3l_s3_logit"),
     ]:
         if k in sums:
             s = sums[k]
             f = s.get("final") or {}
             lines.append(
-                f"| {label} | {s['lr']:g} | {f.get('mad', float('nan')):.4g} | "
+                f"| {label} | {f.get('mad', float('nan')):.4g} | "
+                f"{f.get('tv_norm', float('nan')):.4g} | "
                 f"{'yes' if s.get('passes') else 'no'} |"
             )
+        else:
+            lines.append(f"| {label} | (log `{k}` missing) | — | no |")
     lines += [
         "",
-        "The gate is a fixed-seed CI test in the reference (StableRNG(1)); the "
-        "gated row above uses the fixed framework seed and passes.  Across "
-        "seeds, 300 epochs of decay-free Lion sits at its sign-update noise "
-        "floor (mad oscillates ±0.05 around ~0.1); longer budgets at the same "
-        "hyperparameters converge (e.g. seed 2 best 0.066 at 686/800 epochs — "
-        "`experiments/logs/readme_cal_3e4_800_s2.jsonl`).",
+        "Flagship 8-D config at the gated recipe (cosine 450, logit, exact "
+        "divergence, calibrated aug):",
+        "",
+        "| seed | final tv_norm | final log_mad/d | passes (≤ 0.1 both) |",
+        "|---|---|---|---|",
+    ]
+    for label, k in [
+        ("1", FLAGSHIP_RUN), ("2", "flagship_r3_gated_s2"),
+        ("3", "flagship_r3_gated_s3"),
+    ]:
+        if k in sums:
+            s = sums[k]
+            f = s.get("final") or {}
+            lines.append(
+                f"| {label} | {f.get('tv_norm', float('nan')):.4g} | "
+                f"{f.get('log_mad_perdim', float('nan')):.4g} | "
+                f"{'yes' if s.get('passes_norm') else 'no'} |"
+            )
+        else:
+            lines.append(f"| {label} | (log `{k}` missing) | — | no |")
+    lines += [
         "",
         f"Total wall time: {time.time()-t0:.0f}s",
     ]
