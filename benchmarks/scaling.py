@@ -25,8 +25,22 @@ def main():
     # Measured per-step wall time on the real chip (bench.py train_step_ms)
     # used for the communication-model efficiency projection.
     ap.add_argument("--step-ms-tpu", type=float, default=14.4)
+    ap.add_argument(
+        "--fixed-budget", action="store_true",
+        help="pin the whole process to ONE physical core so the total "
+        "compute budget is constant across N: per-unit-compute throughput "
+        "then isolates partition + collective overhead from core contention "
+        "(the round-2 confound).  Perfect partitioning = flat samples/s.")
+    ap.add_argument(
+        "--collective-bench", action="store_true",
+        help="time psum on the virtual mesh across message sizes, fit the "
+        "latency-bandwidth (alpha-beta) model, and report the implied "
+        "gradient all-reduce cost; validates the projection's STRUCTURE "
+        "(the hardware constants come from the ICI spec).")
     args = ap.parse_args()
 
+    if args.fixed_budget:
+        os.sched_setaffinity(0, {0})  # before jax import: XLA threads inherit
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + f" --xla_force_host_platform_device_count={args.devices}"
@@ -77,6 +91,49 @@ def main():
         dt = (time.perf_counter() - t0) / args.iters
         return B / dt
 
+    if args.collective_bench:
+        # alpha-beta fit of psum on the virtual mesh.  CPU-mesh constants are
+        # NOT ICI constants — the point is validating that collective time is
+        # affine in bytes (t = alpha + bytes/beta) so the projection's form
+        # holds; the projection then substitutes the ICI alpha/beta.
+        from functools import partial
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        mesh = Mesh(np.array(jax.devices()[: args.devices]), ("d",))
+        sizes = [2 ** k for k in range(8, 23, 2)]  # 1KiB..16MiB of f32
+        rows = []
+        for nel in sizes:
+            x = jnp.zeros((args.devices, nel), jnp.float32)
+            f = jax.jit(shard_map(partial(jax.lax.psum, axis_name="d"),
+                                  mesh=mesh, in_specs=P("d", None),
+                                  out_specs=P()))
+            float(np.asarray(f(x)).ravel()[0])  # compile
+            reps = 20 if nel <= 2 ** 16 else 5
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                r = f(x)
+            float(np.asarray(r).ravel()[0])
+            dt = (time.perf_counter() - t0) / reps
+            rows.append((nel * 4, dt))
+            print(f"psum {nel*4:>10} B: {dt*1e6:10.1f} us", flush=True)
+        bts = np.array([r[0] for r in rows], dtype=np.float64)
+        ts = np.array([r[1] for r in rows])
+        beta_inv, alpha = np.polyfit(bts, ts, 1)
+        resid = float(np.sqrt(np.mean((alpha + beta_inv * bts - ts) ** 2))
+                      / np.mean(ts))
+        out = {
+            "collective": "psum",
+            "devices": args.devices,
+            "alpha_us": round(float(alpha) * 1e6, 2),
+            "beta_GBps": round(1e-9 / float(beta_inv), 3),
+            "affine_fit_rel_rmse": round(resid, 4),
+            "points": [{"bytes": int(b), "t_us": round(t * 1e6, 1)}
+                       for b, t in rows],
+        }
+        print(json.dumps(out))
+        return
+
     results = {}
     base = None
     n = 1
@@ -84,7 +141,10 @@ def main():
         sps = throughput(n)
         if base is None:
             base = sps
-        eff = sps / (base * n)
+        # --fixed-budget: constant total compute, so perfect partitioning is
+        # FLAT samples/s (efficiency = sps/sps_1); default mode divides by N
+        # (core-bound upper bound min(cores/N, 1) on this host).
+        eff = sps / base if args.fixed_budget else sps / (base * n)
         results[n] = {"samples_per_sec": round(sps, 1), "efficiency": round(eff, 3)}
         print(f"devices={n}: {sps:,.0f} samples/s  efficiency={eff:.1%}", flush=True)
         n *= 2
@@ -108,6 +168,7 @@ def main():
         t_comm = 2.0 * param_bytes / bw + lat
         proj[name] = round(t_step / (t_step + t_comm), 6)
     out = {
+        "mode": "fixed_total_core_budget" if args.fixed_budget else "free",
         "scaling_measured_cpu": results,
         "host_physical_cores": os.cpu_count(),
         "note": (
