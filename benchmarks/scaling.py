@@ -72,7 +72,11 @@ def main():
             cnf.RNODE, nn, nvars, naug, tspan=(0.0, 1.0), steer_rate=0.1, lam3=1e-2
         )
         mesh = make_mesh(MeshConfig(data=n_dev), devices=jax.devices()[:n_dev])
-        B = args.batch_per_device * n_dev
+        # --fixed-budget holds TOTAL batch (and the single pinned core)
+        # constant across N, so slowdown vs N=1 is pure partition +
+        # collective overhead; default mode weak-scales per device.
+        B = args.batch_per_device * (args.devices if args.fixed_budget
+                                     else n_dev)
         xs = jax.device_put(
             jax.random.uniform(jax.random.PRNGKey(1), (B, nvars)), data_sharding(mesh)
         )
