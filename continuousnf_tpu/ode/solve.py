@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from jax.flatten_util import ravel_pytree
 
 from ..types import Adjoint, SolverOptions
+from .implicit import ESDIRKTableau, esdirk_step
 from .tableaus import TABLEAUS, ButcherTableau, get_tableau
 
 # Step-size controller constants (standard Hairer/OrdinaryDiffEq-style values).
@@ -109,6 +110,21 @@ def _rk_step(
     return y_new, (err, err3), ks[-1]
 
 
+def _step(f, tab, t, dt, y, k1):
+    """Dispatch one attempted step: explicit RK or implicit ESDIRK."""
+    if isinstance(tab, ESDIRKTableau):
+        return esdirk_step(f, tab, t, dt, y, k1)
+    return _rk_step(f, tab, t, dt, y, k1)
+
+
+def _nfe_per_attempt(tab) -> int:
+    """f/JVP evaluations inside one attempted step (stage-1 FSAL reuse
+    excluded; the non-FSAL refresh eval is accounted by the caller)."""
+    if isinstance(tab, ESDIRKTableau):
+        return tab.nfe_per_attempt
+    return tab.num_stages - 1
+
+
 def _initial_step_size(
     f, t0, y0, f0, tdir, order: int, rtol, atol, t_span_len
 ) -> jax.Array:
@@ -150,7 +166,7 @@ def _attempt_step(f, tab: ButcherTableau, state: StepState, t1, tdir, rtol, atol
     is_last = jnp.abs(dt) >= remaining
     dt_use = tdir * jnp.minimum(jnp.abs(dt), remaining)
 
-    y_new, (err, err3), k_last = _rk_step(f, tab, t, dt_use, y, k1)
+    y_new, (err, err3), k_last = _step(f, tab, t, dt_use, y, k1)
     # The error estimate only drives control flow (accept + step size); it must
     # not carry gradients — in the DIRECT (scan) path a masked no-op step has
     # dt=0 => err=0, and d/dx sqrt(x)|_0 = inf would poison the cotangents.
@@ -196,7 +212,7 @@ def _attempt_step(f, tab: ButcherTableau, state: StepState, t1, tdir, rtol, atol
         steps=steps + 1,
         accepted=accepted + accept.astype(steps.dtype),
     )
-    nfe_per_attempt = (tab.num_stages - 1) + extra_nfe
+    nfe_per_attempt = _nfe_per_attempt(tab) + extra_nfe
     return new_state, nfe_per_attempt
 
 
@@ -233,7 +249,7 @@ def _solve_adaptive_while(f, tab, y0, t0, t1, rtol, atol, max_steps, dt0):
         return new_state
 
     final = jax.lax.while_loop(cond, body, init)
-    nfe_per = (tab.num_stages - 1) + (0 if tab.fsal else 1)
+    nfe_per = _nfe_per_attempt(tab) + (0 if tab.fsal else 1)
     stats = SolveStats(
         steps=final.steps,
         accepted=final.accepted,
@@ -281,7 +297,7 @@ def _solve_adaptive_scan(f, tab, y0, t0, t1, rtol, atol, max_steps, dt0):
         return out, None
 
     final, _ = jax.lax.scan(scan_body, init, None, length=max_steps)
-    nfe_per = (tab.num_stages - 1) + (0 if tab.fsal else 1)
+    nfe_per = _nfe_per_attempt(tab) + (0 if tab.fsal else 1)
     stats = SolveStats(
         steps=final.steps,
         accepted=final.accepted,

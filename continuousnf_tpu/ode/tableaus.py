@@ -11,9 +11,11 @@ Method "auto" mirrors that default algorithm's loose/tight tolerance split
 Tsit5 with the higher-order Vern7 for tight tolerances): rtol >= 1e-6 picks
 Tsit5, tighter picks Dop853 — the classic 8(5,3) high-accuracy explicit
 method, filling Vern7's role here with machine-exact published coefficients.
-Stiff auto-switching is intentionally out of scope: CNF vector fields are
-smooth bounded neural nets (tanh MLPs / planar layers), and the reference's
-own solves never leave the non-stiff branch at its tolerances.
+A stiff fallback exists as `SolverOptions(method="trbdf2")` (L-stable ESDIRK
+with matrix-free Newton–GMRES stages, `implicit.py`); "auto" deliberately
+never selects it because CNF vector fields are smooth bounded neural nets
+(tanh MLPs / planar layers) measured non-stiff at the reference's tolerances
+(docs/SOLVER_PARITY.md) — the explicit pair is strictly cheaper there.
 """
 
 from __future__ import annotations
@@ -215,12 +217,22 @@ def select_method(rtol: float) -> str:
     return "tsit5" if rtol >= 1.0e-6 else "dop853"
 
 
-def get_tableau(method: str, rtol: float) -> ButcherTableau:
-    """Resolve a SolverOptions.method string ("auto" picks by rtol)."""
+def get_tableau(method: str, rtol: float):
+    """Resolve a SolverOptions.method string ("auto" picks by rtol).
+
+    Returns a `ButcherTableau` (explicit) or an `implicit.ESDIRKTableau`
+    ("trbdf2", the stiff fallback) — both carry the fields the step
+    controller reads (b/btilde/c/order/fsal/num_stages).
+    """
     if method == "auto":
         method = select_method(rtol)
     return TABLEAUS[method]
 
+
+def _implicit_tableaus():
+    from .implicit import TRBDF2
+
+    return {"trbdf2": TRBDF2}
 
 
 TABLEAUS = {
@@ -231,6 +243,7 @@ TABLEAUS = {
     "dopri5": DOPRI5,
     "tsit5": TSIT5,
     "dop853": DOP853,
+    **_implicit_tableaus(),
 }
 
 __all__ = ["ButcherTableau", "TABLEAUS", "EULER", "MIDPOINT", "RK4", "BOSH3", "DOPRI5", "TSIT5", "DOP853", "select_method", "get_tableau"]

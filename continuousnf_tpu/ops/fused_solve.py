@@ -681,6 +681,10 @@ def make_full_solve(
     if opts.fixed_num_steps is not None:
         return None
     tab = get_tableau(opts.method, opts.rtol)
+    if not isinstance(tab, ButcherTableau):
+        # Implicit methods (trbdf2 stiff fallback) run Newton/GMRES inner
+        # loops the kernel does not implement — XLA path handles them.
+        return None
     if tab.btilde is None or not tab.fsal or tab.btilde3 is not None:
         # btilde3 methods (dop853) need the stretched error combine, which the
         # kernel's controller does not implement — XLA path handles them.

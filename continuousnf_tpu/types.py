@@ -150,7 +150,8 @@ class SolverOptions:
     # "tsit5" (default; what DefaultODEAlgorithm picks for the reference's
     # solves), "dop853" (high-order, for tight tolerances — Vern7's role),
     # "auto" (tsit5/dop853 split by rtol; `ode/tableaus.select_method`),
-    # "dopri5", "bosh3", or fixed-step "rk4"/"midpoint"/"euler".
+    # "dopri5", "bosh3", "trbdf2" (L-stable stiff fallback, `ode/implicit.py`),
+    # or fixed-step "rk4"/"midpoint"/"euler".
     method: str = "tsit5"
     rtol: float = 1.0e-3
     atol: float = 1.0e-6

@@ -82,6 +82,13 @@ def main():
         f"Backend: {cached.get('backend', jax.default_backend())}  |  "
         "gate: mad/msd/tv <= 0.1 (reference `test/regression_tests.jl:46-48`)",
         "",
+        "Eval-tolerance convention: recipe rows train AND score at the "
+        "README tolerances (rtol=3.45e-4/atol=1.19e-7, one solver config "
+        "per model); `literal_gates` rows train at the reference-effective "
+        "rtol=1e-3 and score TestMode at rtol=1e-5 (the README's "
+        "tight-evaluation advice) — each such row states its eval rtol "
+        "inline.",
+        "",
     ]
 
     def record(title: str, rep: dict, gated: bool = True):
