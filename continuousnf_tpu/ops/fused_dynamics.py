@@ -114,6 +114,11 @@ def _fused_forward(w1, b1, w2, b2, z, eps, *, interpret: bool):
             jax.ShapeDtypeStruct((Bp, 1), z.dtype),
         ],
         interpret=interpret,
+        compiler_params=(
+            None
+            if interpret
+            else pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+        ),
     )(z, eps, w1, b1, w2, b2)
     return y[:B], tr[:B, 0], e[:B, 0], n[:B, 0]
 

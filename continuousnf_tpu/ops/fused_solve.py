@@ -64,6 +64,19 @@ _EEST_FLOOR = 1.0e-4
 # resident).
 _VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 
+# Mosaic's default scoped-VMEM allocation limit is 16 MiB — well under the
+# 128 MiB physical VMEM of a v5e core, and the adjoint megakernel's stack
+# (stage registers + transposed-jvp temporaries) measurably needs ~24 MiB at
+# B=4096 (compile-time "Scoped allocation ... exceeded scoped vmem limit"
+# otherwise).  Raise the limit for the megakernels; the _VMEM_BUDGET_BYTES
+# working-set guard above still bounds what we ask for.
+_VMEM_LIMIT_BYTES = 96 * 1024 * 1024
+
+
+def _compiler_params(interpret: bool):
+    """Mosaic compiler params (None under interpret mode, which has no TPU)."""
+    return None if interpret else pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
+
 
 def _safe_col_norm(v: jax.Array) -> jax.Array:
     """Per-column L2 norm over rows with a zero (not NaN) gradient at v=0 —
@@ -402,6 +415,7 @@ def _run_solve_kernel(
             jax.ShapeDtypeStruct((1, 2), jnp.int32),
         ],
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
     )(*inputs)
     return zT_t.T, accT, stats[0, 0], stats[0, 1]
 
@@ -998,6 +1012,7 @@ def make_full_solve(
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
+            compiler_params=_compiler_params(interpret),
         )(*inputs)
         if train:
             z0_t, acc0, az0_t, gw1, gb1, gw2, gb2, geps_t, st = outs
