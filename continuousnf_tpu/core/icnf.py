@@ -424,6 +424,18 @@ def inference(
             )
             z0 = jnp.concatenate([xs, a0], axis=-1)
         eps_key, steer_key = jax.random.split(key)
+        if eps is not None:
+            # Explicit probes must be (K, B, zdim); a 2-D (B, zdim) array is
+            # accepted as K=1 shorthand.  Anything else would surface as an
+            # inscrutable Pallas block-shape error deep in the fused kernel.
+            K = icnf.compute_mode.num_probes
+            if eps.ndim == 2:
+                eps = eps[None]
+            if eps.shape != (K, B, icnf.zdim):
+                raise ValueError(
+                    f"eps must have shape (num_probes={K}, B={B}, "
+                    f"zdim={icnf.zdim}) or (B, zdim) for K=1; got {eps.shape}"
+                )
         if eps is None and not icnf.compute_mode.exact_trace:
             # One probe draw per call, fixed across the trajectory (reference
             # `src/base_icnf.jl:277-278`).  Callers may pre-sample eps to

@@ -388,3 +388,25 @@ def test_exact_trace_gradients_flow():
     assert any(
         float(jnp.max(jnp.abs(leaf))) > 0 for leaf in jax.tree.leaves(g)
     )
+
+
+def test_explicit_eps_shape_validation():
+    # Explicit probes are (K, B, zdim); (B, zdim) is K=1 shorthand; anything
+    # else must raise clearly instead of dying inside the fused kernel.
+    nn = cnf.MLP((4, 8, 4))
+    icnf = cnf.construct(cnf.RNODE, nn, 2, 2, compute_mode=cnf.VecJacMode())
+    ps = icnf.init(jax.random.PRNGKey(0))
+    xs = jax.random.uniform(jax.random.PRNGKey(1), (8, 2))
+    key = jax.random.PRNGKey(2)
+    eps3 = jax.random.normal(key, (1, 8, 4))
+    lp3, _, _ = cnf.inference(icnf, Mode.TRAIN, xs, ps, key=key, eps=eps3)
+    lp2, _, _ = cnf.inference(icnf, Mode.TRAIN, xs, ps, key=key, eps=eps3[0])
+    np.testing.assert_allclose(np.asarray(lp3), np.asarray(lp2), rtol=1e-6)
+    with pytest.raises(ValueError, match="num_probes"):
+        cnf.inference(icnf, Mode.TRAIN, xs, ps, key=key,
+                      eps=jax.random.normal(key, (4, 8)))
+    with pytest.raises(ValueError, match="num_probes"):
+        icnf2 = cnf.construct(
+            cnf.RNODE, nn, 2, 2, compute_mode=cnf.VecJacMode(num_probes=2))
+        cnf.inference(icnf2, Mode.TRAIN, xs, ps, key=key,
+                      eps=jax.random.normal(key, (8, 4)))

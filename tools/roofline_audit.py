@@ -38,20 +38,14 @@ def _readback(tree) -> float:
     return float(np.asarray(leaf).ravel()[0])
 
 
-def _time_reps(fn, reps: int = 5, rtt: float = 0.0) -> float:
-    _readback(fn())  # warm/compile
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        _readback(fn())
-        ts.append(time.perf_counter() - t0)
-    return max(min(ts) - rtt, 1e-9)
-
-
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4096)
-    ap.add_argument("--caps", type=int, nargs="+", default=[16, 32, 64, 128])
+    # All caps must BIND (stay below the solve's natural accepted+rejected
+    # step count, ~31 at tspan=(0,13) rtol=1e-3) or the slope fit degenerates.
+    ap.add_argument("--caps", type=int, nargs="+", default=[6, 12, 18, 24])
+    ap.add_argument("--scan-length", type=int, default=64,
+                    help="on-device solve repetitions per timed dispatch")
     ap.add_argument("--write", action="store_true", help="write docs/ROOFLINE.md")
     args = ap.parse_args()
 
@@ -76,30 +70,51 @@ def main() -> None:
         )
 
     ps = mk(True, 100).init(jax.random.PRNGKey(0))
+
+    # Natural (uncapped) step count — every cap must stay below it to bind.
+    _, _, st_nat = jax.jit(
+        lambda x: cnf.inference(mk(True, 4096), Mode.TRAIN, x, ps, key=key)
+    )(xs)
+    natural_steps = int(st_nat.steps)
+    if max(args.caps) >= natural_steps:
+        print(f"WARNING: cap {max(args.caps)} >= natural steps {natural_steps};"
+              " slope fit will degenerate", file=sys.stderr)
+
     out = {"batch": B, "rtt_ms": round(rtt * 1e3, 3),
-           "backend": jax.default_backend(), "caps": args.caps}
+           "backend": jax.default_backend(), "caps": args.caps,
+           "natural_steps": natural_steps, "scan_length": args.scan_length}
+
+    from bench import time_scanned
 
     def sweep(kind: str):
-        """wall(cap) for the forward TRAIN solve (fused/xla) or the grad step."""
+        """Per-solve wall(cap) for the forward TRAIN solve (fused/xla) or the
+        grad step.  Each measurement is ONE dispatch running `--scan-length`
+        solves back-to-back on device inside `lax.scan` (data-dependent via a
+        1e-7 feedback of the output into the input), so the ~24 ms tunnel RTT
+        is paid once per dispatch instead of once per solve.
+        """
         walls, nfes, steps = {}, {}, {}
         for cap in args.caps:
             icnf = mk(kind != "xla_fwd", cap)
 
             if kind == "grad":
-                @jax.jit
-                def run(x, k):
+                def step(x, i):
                     g = jax.grad(
-                        lambda p: cnf.loss(icnf, Mode.TRAIN, x, p, key=k))(ps)
-                    return jax.tree_util.tree_leaves(g)[0]
+                        lambda p: cnf.loss(icnf, Mode.TRAIN, x, p, key=key))(ps)
+                    leak = jnp.tanh(jax.tree_util.tree_leaves(g)[0].ravel()[0])
+                    return x + 1e-7 * leak
             else:
-                @jax.jit
-                def run(x, k):
-                    lp, _, stats = cnf.inference(icnf, Mode.TRAIN, x, ps, key=k)
-                    return lp, stats
+                def step(x, i):
+                    lp, _, _ = cnf.inference(icnf, Mode.TRAIN, x, ps, key=key)
+                    return x + 1e-7 * jnp.tanh(lp)[:, None]
 
-            walls[cap] = _time_reps(lambda: run(xs, key), rtt=rtt)
+            walls[cap] = time_scanned(step, xs, args.scan_length, rtt)
             if kind != "grad":
-                st = run(xs, key)[1]
+                @jax.jit
+                def stats_of(x):
+                    return cnf.inference(icnf, Mode.TRAIN, x, ps, key=key)[2]
+
+                st = stats_of(xs)
                 nfes[cap] = int(st.nfe)
                 steps[cap] = int(st.steps)
         caps = np.asarray(args.caps, np.float64)
@@ -146,11 +161,14 @@ def main() -> None:
         buf.write(
             "# Roofline audit — counter-independent per-NFE timing\n\n"
             f"Method: cap the adaptive solve at max_steps=k for k in {args.caps}\n"
-            "(all below the natural ~190-step count at tspan=(0,13), rtol=1e-3)\n"
-            "and fit wall(k) = a + b*k; the slope b is the cost of one attempted\n"
+            f"(all below the measured natural {natural_steps}-step count at\n"
+            "tspan=(0,13), rtol=1e-3, so every cap binds) and fit\n"
+            "wall(k) = a + b*k; the slope b is the cost of one attempted\n"
             "step (6 field evals, FSAL tsit5) measured purely from wall-clock\n"
-            "deltas — no dependence on the kernel's NFE counter.  Batch "
-            f"{B}, f32.\n\n"
+            f"deltas — no dependence on the kernel's NFE counter.  Each wall\n"
+            f"point is one dispatch of {args.scan_length} back-to-back solves\n"
+            "in an on-device `lax.scan` (tunnel RTT paid once, subtracted).\n"
+            f"Batch {B}, f32.\n\n"
             "| path | per-attempt (us) | per-NFE (us) | NFE/attempt reported |\n"
             "|---|---|---|---|\n"
             f"| fused megakernel fwd | {fused['per_attempt_us']} | "
