@@ -55,11 +55,14 @@ def measure_rtt() -> float:
     x = jnp.zeros((8, 128))
     _readback(nop(x))
     ts = []
-    for _ in range(5):
+    for _ in range(7):
         t0 = time.perf_counter()
         _readback(nop(x))
         ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+    # The floor, not the median: a contention spike during this probe must
+    # not inflate the value subtracted from every later measurement (an
+    # overestimate can push short dispatches to <= 0).
+    return float(np.min(ts))
 
 
 def time_scanned(step_fn, carry, length: int, rtt: float, reps: int = 3) -> float:
@@ -67,21 +70,34 @@ def time_scanned(step_fn, carry, length: int, rtt: float, reps: int = 3) -> floa
 
     Runs `length` data-dependent iterations inside one jitted `lax.scan`
     (single dispatch), subtracts the measured readback RTT, takes the min
-    over `reps` dispatches.
+    over `reps` dispatches.  If the dispatch is not comfortably above the
+    RTT (< 4x), the scan length is scaled up and the measurement repeated —
+    otherwise RTT estimation noise dominates the subtraction and a short
+    dispatch can clamp to ~0, poisoning every derived per-op number.
     """
 
-    @jax.jit
-    def run(c):
-        return jax.lax.scan(lambda c, i: (step_fn(c, i), None), c, jnp.arange(length))[0]
+    def once(length: int) -> float:
+        @jax.jit
+        def run(c):
+            return jax.lax.scan(
+                lambda c, i: (step_fn(c, i), None), c, jnp.arange(length)
+            )[0]
 
-    c = run(carry)  # compile + warm
-    _readback(c)
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        _readback(run(c))
-        ts.append(time.perf_counter() - t0)
-    return max(min(ts) - rtt, 1e-9) / length
+        c = run(carry)  # compile + warm
+        _readback(c)
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _readback(run(c))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    wall = once(length)
+    if wall < 4.0 * rtt:
+        scale = int(np.ceil(4.0 * rtt / max(wall - rtt, rtt / 4))) + 1
+        length = min(length * scale, length * 64)
+        wall = once(length)
+    return max(wall - rtt, 1e-9) / length
 
 
 def main():

@@ -95,17 +95,34 @@ def _odeint_backsolve_bwd(func, opts, full_solve, residuals, cotangents):
         dt0 = (-jnp.sum(a_y0 * f_0)).astype(t0.dtype)
         return (a_y0, dt0, dt1, g_args, ())
 
-    zeros_args = jax.tree.map(lambda x: jnp.zeros_like(jnp.asarray(x)), args)
+    # The Hutchinson probes are Monte-Carlo constants, not parameters: their
+    # cotangent would be integrated at full (K, B, zdim) width through every
+    # backward stage and then discarded into `random.normal`'s zero VJP.
+    # BACKSOLVE therefore treats `eps` as non-differentiable (zeros returned);
+    # DIRECT still differentiates through everything.
+    eps_const = args.get("eps") if isinstance(args, dict) else None
+    args_d = (
+        {k: v for k, v in args.items() if k != "eps"}
+        if eps_const is not None
+        else args
+    )
+    with_eps = (
+        (lambda a: dict(a, eps=eps_const)) if eps_const is not None else (lambda a: a)
+    )
+
+    zeros_args = jax.tree.map(lambda x: jnp.zeros_like(jnp.asarray(x)), args_d)
     zeros_consts = jax.tree.map(lambda x: jnp.zeros_like(jnp.asarray(x)), consts)
 
     def aug_dyn(t, aug, pk):
         y, a_y, _, _ = aug
         args_, consts_ = pk
-        _, vjp_fn = jax.vjp(lambda y_, a_, c_: f_of(t, y_, a_, c_), y, args_, consts_)
+        _, vjp_fn = jax.vjp(
+            lambda y_, a_, c_: f_of(t, y_, with_eps(a_), c_), y, args_, consts_
+        )
         ay_bar, args_bar, consts_bar = vjp_fn(a_y)
         neg = lambda x: -x
         return (
-            f_of(t, y, args_, consts_),
+            f_of(t, y, with_eps(args_), consts_),
             jax.tree.map(neg, ay_bar),
             jax.tree.map(neg, args_bar),
             jax.tree.map(neg, consts_bar),
@@ -120,9 +137,11 @@ def _odeint_backsolve_bwd(func, opts, full_solve, residuals, cotangents):
         return daugf
 
     augTf, _ = _solve_forward_flat(
-        aug_flat, _forward_opts(opts), aug0f, t1, t0, (args, consts)
+        aug_flat, _forward_opts(opts), aug0f, t1, t0, (args_d, consts)
     )
     y0_rec, a_y0, g_args, g_consts = unravel(augTf)
+    if eps_const is not None:
+        g_args = dict(g_args, eps=jnp.zeros_like(eps_const))
 
     # dL/dt0 = -<a(t0), f(y(t0), t0)>
     f_0 = f_of(t0, y0_rec, args, consts)

@@ -435,11 +435,13 @@ def _make_adjoint_kernel(
 ):
     """Kernel for the continuous-adjoint (backsolve) backward integration.
 
-    State blocks: y = (z, acc), a_y = (a_z, a_acc), param grads gp, and (TRAIN)
-    probe grad g_eps.  The augmented dynamics stage is generated by `jax.vjp`
+    State blocks: y = (z, acc), a_y = (a_z, a_acc), and param grads gp.  The
+    Hutchinson probes are Monte-Carlo constants — BACKSOLVE returns a zero
+    eps-cotangent (see ode/adjoint.py), so no (K*dz, B) probe-grad block is
+    integrated.  The augmented dynamics stage is generated by `jax.vjp`
     of the forward stage at TRACE time — the transposed second-order math
     lowers into the kernel as plain matmul/elementwise ops.  a_acc is constant
-    (the field never reads the accumulators) and acc/gp/g_eps never feed back
+    (the field never reads the accumulators) and acc/gp never feed back
     into stages, so only (z, a_z) carry stage registers.
 
     The kernel runs on a grid over batch tiles (the doubled adjoint working
@@ -456,7 +458,7 @@ def _make_adjoint_kernel(
         if train:
             (eps_ref, w1_ref, b1_ref, w2_ref, b2_ref,
              z0_ref, acc0_ref, az0_ref, gw1_ref, gb1_ref, gw2_ref, gb2_ref,
-             geps_ref, st_ref) = rest
+             st_ref) = rest
             epst = eps_ref[:]
         else:
             (w1_ref, b1_ref, w2_ref, b2_ref,
@@ -470,22 +472,25 @@ def _make_adjoint_kernel(
         aacc = aacc_ref[:]  # constant over the backward solve
 
         def aug_stage(zi, azi):
-            """(kz, k_acc_rates, k_az, k_gp(4-tuple), k_geps|None)."""
+            """(kz, k_acc_rates, k_az, k_gp(4-tuple)).  The probes are closed
+            over as constants — no eps cotangent is computed (BACKSOLVE
+            treats them as non-differentiable; see ode/adjoint.py)."""
             if train:
                 (kz, kr), vjp = jax.vjp(
-                    lambda z_, w1_, b1_, w2_, b2_, e_: _stage_train(
-                        z_, e_, w1_, b1_, w2_, b2_, norm_z, norm_j, bf16, k_probes
+                    lambda z_, w1_, b1_, w2_, b2_: _stage_train(
+                        z_, epst, w1_, b1_, w2_, b2_, norm_z, norm_j, bf16, k_probes
                     ),
-                    zi, w1, b1c, w2, b2c, epst,
+                    zi, w1, b1c, w2, b2c,
                 )
-                zb, w1b, b1b, w2b, b2b, epsb = vjp((azi, aacc))
-                return kz, kr, -zb, (-w1b, -b1b, -w2b, -b2b), -epsb
-            (kz, kr), vjp = jax.vjp(
-                lambda z_, w1_, b1_, w2_, b2_: _stage_test(z_, w1_, b1_, w2_, b2_, bf16),
-                zi, w1, b1c, w2, b2c,
-            )
+            else:
+                (kz, kr), vjp = jax.vjp(
+                    lambda z_, w1_, b1_, w2_, b2_: _stage_test(
+                        z_, w1_, b1_, w2_, b2_, bf16
+                    ),
+                    zi, w1, b1c, w2, b2c,
+                )
             zb, w1b, b1b, w2b, b2b = vjp((azi, aacc))
-            return kz, kr, -zb, (-w1b, -b1b, -w2b, -b2b), None
+            return kz, kr, -zb, (-w1b, -b1b, -w2b, -b2b)
 
         f32 = jnp.float32
         t0 = ts_ref[0, 0]  # solve runs t0 -> t1 = tspan end -> start
@@ -495,12 +500,11 @@ def _make_adjoint_kernel(
 
         z_init = z_ref[:]
         az_init = az_ref[:]
-        kz0, kr0, kaz0, kgp0, kge0 = aug_stage(z_init, az_init)
+        kz0, kr0, kaz0, kgp0 = aug_stage(z_init, az_init)
         gp0 = tuple(jnp.zeros_like(g) for g in kgp0)
-        ge0 = jnp.zeros_like(kge0) if train else None
 
         # carry: (t, dt, eest_prev, steps, accepted,
-        #         z, acc, az, gp(4), ge?, k1z, k1r, k1az, k1gp(4), k1ge?)
+        #         z, acc, az, gp(4), k1z, k1r, k1az, k1gp(4))
         init = (
             t0,
             dt0,
@@ -511,12 +515,10 @@ def _make_adjoint_kernel(
             acc_ref[:],
             az_init,
             gp0,
-            ge0,
             kz0,
             kr0,
             kaz0,
             kgp0,
-            kge0,
         )
 
         def cond(c):
@@ -524,12 +526,12 @@ def _make_adjoint_kernel(
 
         def body(c):
             (t, dt, eest_prev, steps, accepted,
-             z, acc, az, gp, ge, k1z, k1r, k1az, k1gp, k1ge) = c
+             z, acc, az, gp, k1z, k1r, k1az, k1gp) = c
             remaining = jnp.abs(t1 - t)
             is_last = jnp.abs(dt) >= remaining
             dt_use = tdir * jnp.minimum(jnp.abs(dt), remaining)
 
-            ksz, ksr, ksaz, ksgp, ksge = [k1z], [k1r], [k1az], [k1gp], [k1ge]
+            ksz, ksr, ksaz, ksgp = [k1z], [k1r], [k1az], [k1gp]
             for i in range(1, tab.num_stages):
                 zi = z
                 azi = az
@@ -542,7 +544,6 @@ def _make_adjoint_kernel(
                 ksr.append(out[1])
                 ksaz.append(out[2])
                 ksgp.append(out[3])
-                ksge.append(out[4])
 
             def comb(base, ks, coeffs):
                 out = base
@@ -557,7 +558,6 @@ def _make_adjoint_kernel(
             gp_new = tuple(
                 comb(gp[m], [k[m] for k in ksgp], tab.b) for m in range(4)
             )
-            ge_new = comb(ge, ksge, tab.b) if train else None
 
             zero = lambda x: jnp.zeros_like(x)
             err_z = comb(zero(z), ksz, tab.btilde)
@@ -566,7 +566,6 @@ def _make_adjoint_kernel(
             err_gp = tuple(
                 comb(zero(gp[m]), [k[m] for k in ksgp], tab.btilde) for m in range(4)
             )
-            err_ge = comb(zero(ge), ksge, tab.btilde) if train else None
 
             def blk(err, old, new):
                 sc = atol + rtol * jnp.maximum(jnp.abs(old), jnp.abs(new))
@@ -579,8 +578,6 @@ def _make_adjoint_kernel(
             )
             for m in range(4):
                 sumsq = sumsq + blk(err_gp[m], gp[m], gp_new[m])
-            if train:
-                sumsq = sumsq + blk(err_ge, ge, ge_new)
             # a_acc has zero rates: contributes 0 to sumsq but counts in n_elems.
             eest = jnp.sqrt(sumsq / n_elems)
             finite = (
@@ -614,21 +611,17 @@ def _make_adjoint_kernel(
                 sel(acc_new, acc),
                 sel(az_new, az),
                 tuple(sel(gp_new[m], gp[m]) for m in range(4)),
-                sel(ge_new, ge) if train else None,
                 sel(ksz[-1], k1z),
                 sel(ksr[-1], k1r),
                 sel(ksaz[-1], k1az),
                 tuple(sel(ksgp[-1][m], k1gp[m]) for m in range(4)),
-                sel(ksge[-1], k1ge) if train else None,
             )
 
         final = jax.lax.while_loop(cond, body, init)
-        (_, _, _, steps_f, accepted_f, z_f, acc_f, az_f, gp_f, ge_f, *_rest) = final
+        (_, _, _, steps_f, accepted_f, z_f, acc_f, az_f, gp_f, *_rest) = final
         z0_ref[:] = z_f
         acc0_ref[:] = acc_f
         az0_ref[:] = az_f
-        if train:
-            geps_ref[:] = ge_f
 
         # Param grads / stats accumulate across the (sequential) batch tiles.
         tile0 = pl.program_id(0) == 0
@@ -817,11 +810,11 @@ def make_full_solve(
     P_total = dz * hidden + hidden + hidden * dz + dz
 
     def _adjoint_tile_bytes(tile_b: int) -> int:
-        # ~2.5x the forward working set (z and a_z stage registers, the vjp
-        # residuals of every unrolled stage, plus the probe-grad accumulator;
-        # probes/probe-grads/eJ residuals scale with K).
+        # ~2.5x the forward working set (z and a_z stage registers plus the
+        # vjp residuals of every unrolled stage; probes/eJ residuals scale
+        # with K — no probe-grad block, the eps cotangent is not integrated).
         return 4 * tile_b * (
-            2 * (tab.num_stages + 4) * (dz + nacc) + 8 * hidden + (4 + 4 * K) * dz
+            2 * (tab.num_stages + 4) * (dz + nacc) + 8 * hidden + (4 + 2 * K) * dz
         )
 
     # Pick the largest divisor-of-B tile that fits the VMEM budget; each tile
@@ -889,18 +882,14 @@ def make_full_solve(
         span = jnp.abs(t_lo - t_hi)
 
         def plain_aug_rates(z, az, aacc_bm):
+            # eps closed over as a constant in BOTH modes — the eps cotangent
+            # is not part of the adjoint state (see ode/adjoint.py).
             (kz, kr), vjp = jax.vjp(
                 lambda z_, ps_: _plain_field_bm(ps_, z_, eps_b), z, ps
-            ) if not train else jax.vjp(
-                lambda z_, ps_, e_: _plain_field_bm(ps_, z_, e_), z, ps, eps_b
             )
-            bars = vjp((az, aacc_bm))
+            zb, psb = vjp((az, aacc_bm))
             neg = lambda x: jax.tree.map(lambda v: -v, x)
-            if train:
-                zb, psb, epsb = bars
-                return kz, kr, neg(zb), neg(psb), neg(epsb)
-            zb, psb = bars
-            return kz, kr, neg(zb), neg(psb), None
+            return kz, kr, neg(zb), neg(psb)
 
         # Structured aug state for the Hairer initial-step pick; RMS norms are
         # order-invariant, so any consistent packing matches the XLA path.
@@ -912,20 +901,18 @@ def make_full_solve(
             azT,
             aacc_bm,
             zeros_ps,
-            jnp.zeros_like(eps_b) if train else None,
         )
         S0f, unravel_S = ravel_pytree(S0)
 
         def aug_rates_struct(S):
-            z, acc, az, aacc_, gps, ge = S
-            kz, kr, kaz, kgp, kge = plain_aug_rates(z, az, aacc_)
+            z, acc, az, aacc_, gps = S
+            kz, kr, kaz, kgp = plain_aug_rates(z, az, aacc_)
             return (
                 kz,
                 kr.T,
                 kaz,
                 jnp.zeros_like(aacc_),
                 kgp,
-                kge if train else None,
             )
 
         def f_flat(t, uf):
@@ -943,7 +930,7 @@ def make_full_solve(
 
         TILE = adjoint_tile
         n_tiles = B // TILE
-        n_elems_adj = 2 * TILE * (dz + nacc) + P_total + (K * TILE * dz if train else 0)
+        n_elems_adj = 2 * TILE * (dz + nacc) + P_total
         kernel = _make_adjoint_kernel(
             tab,
             train=train,
@@ -999,9 +986,6 @@ def make_full_solve(
             wfull((hidden, dz)),
             wfull((dz, 1)),
         ]
-        if train:
-            out_shape.append(jax.ShapeDtypeStruct((K * dz, B), jnp.float32))  # g_eps
-            out_specs.append(btile(K * dz))
         out_shape.append(jax.ShapeDtypeStruct((1, 2), jnp.int32))
         out_specs.append(pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM))
 
@@ -1014,11 +998,7 @@ def make_full_solve(
             interpret=interpret,
             compiler_params=_compiler_params(interpret),
         )(*inputs)
-        if train:
-            z0_t, acc0, az0_t, gw1, gb1, gw2, gb2, geps_t, st = outs
-        else:
-            z0_t, acc0, az0_t, gw1, gb1, gw2, gb2, st = outs
-            geps_t = None
+        z0_t, acc0, az0_t, gw1, gb1, gw2, gb2, st = outs
 
         y0f = jnp.concatenate([z0_t.T.ravel(), acc0.ravel()])
         a_y0f = jnp.concatenate([az0_t.T.ravel(), aaccT.ravel()])
@@ -1030,8 +1010,9 @@ def make_full_solve(
         g_args["ps"] = g_ps
         g_args["ys"] = None
         if train:
-            # (K*dz, B) -> (K, dz, B) -> (K, B, dz)
-            g_args["eps"] = jnp.moveaxis(geps_t.reshape(K, dz, B), 2, 1)
+            # Probes are Monte-Carlo constants: zero cotangent by definition
+            # of the BACKSOLVE path (matches ode/adjoint.py's generic bwd).
+            g_args["eps"] = jnp.zeros_like(eps_b)
         stats = SolveStats(
             steps=st[0, 0],
             accepted=st[0, 1],
