@@ -46,7 +46,13 @@ def _readback(tree) -> float:
 
 
 def measure_rtt() -> float:
-    """Median dispatch+readback round-trip of a no-op jit call."""
+    """Minimum dispatch+readback round-trip of a no-op jit call (7 samples).
+
+    Deliberately the min, which systematically *under*estimates typical RTT:
+    an overestimate would be subtracted from every later measurement and can
+    push short dispatches to <= 0, while the underestimate only inflates the
+    reported per-op times slightly (conservative direction).
+    """
 
     @jax.jit
     def nop(x):
@@ -97,7 +103,25 @@ def time_scanned(step_fn, carry, length: int, rtt: float, reps: int = 3) -> floa
         scale = int(np.ceil(4.0 * rtt / max(wall - rtt, rtt / 4))) + 1
         length = min(length * scale, length * 64)
         wall = once(length)
-    return max(wall - rtt, 1e-9) / length
+        if wall < 4.0 * rtt:
+            import sys
+
+            print(
+                f"WARNING: time_scanned dispatch ({wall*1e3:.2f} ms) still "
+                f"< 4x RTT ({rtt*1e3:.2f} ms) after rescale to length="
+                f"{length}; per-op time is RTT-noise dominated",
+                file=sys.stderr,
+            )
+    per = wall - rtt
+    if per <= 1e-9 * length:
+        import sys
+
+        print(
+            "WARNING: time_scanned clamped to floor (wall <= RTT); "
+            "result is not meaningful",
+            file=sys.stderr,
+        )
+    return max(per, 1e-9) / length
 
 
 def main():

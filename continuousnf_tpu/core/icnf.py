@@ -203,6 +203,52 @@ class ICNF:
         logpx, _, _ = inference(self, Mode.TRAIN, xs, ps, ys=ys, key=key)
         return logpx
 
+    def __repr__(self) -> str:
+        """One-screen model summary (analog of the reference's `Base.show`,
+        `/root/reference/src/base_icnf.jl:83-96`)."""
+        cm = self.compute_mode
+        trace = (
+            "exact"
+            if cm.exact_trace
+            else f"hutchinson[{cm.ad.value}, K={cm.num_probes}, {cm.eps_dist.value}]"
+        )
+        flags = [
+            name
+            for name, on in (
+                ("cond", self.cond),
+                ("augmented", self.augmented),
+                ("aug_passive", self.aug_passive),
+                ("steered", self.steered),
+                ("fused", cm.fused),
+            )
+            if on
+        ]
+        lines = [
+            f"ICNF {{ nvars = {self.nvars}, naugmented = {self.naugmented}"
+            + (f", flags = {'+'.join(flags)}" if flags else "")
+            + " }",
+            f"  nn:      {self.nn!r}",
+            f"  trace:   {trace} (TRAIN); exact (TEST)",
+            f"  tspan:   {self.tspan}"
+            + (f", steer_rate = {self.steer_rate}" if self.steered else ""),
+            f"  lambdas: l1 = {self.lam1}, l2 = {self.lam2}, l3 = {self.lam3}",
+            f"  solver:  {self.solver.method} rtol={self.solver.rtol} "
+            f"atol={self.solver.atol} adjoint={self.solver.adjoint.value}",
+            f"  base:    {self.basedist!r}"
+            if self.basedist is not None
+            else "  base:    MvStdNormal",
+        ]
+        extras = []
+        if self.aug_noise:
+            extras.append(f"aug_noise = {self.aug_noise:.4g}")
+        if self.x_jitter:
+            extras.append(f"x_jitter = {self.x_jitter:.4g}")
+        if self.input_bijector:
+            extras.append(f"input_bijector = {self.input_bijector}")
+        if extras:
+            lines.append("  extras:  " + ", ".join(extras))
+        return "\n".join(lines)
+
 
 def construct(
     variant,
@@ -375,6 +421,14 @@ def inference(
 
     Returns (logpx (B,), regs: Regs, stats: SolveStats).  Rank-1 `xs` is
     treated as a single sample and squeezed back (the reference's VectorMode).
+
+    `eps` (TRAIN only): explicit Hutchinson probes, (K, B, zdim) or (B, zdim)
+    for K=1.  Note on differentiation: under the default BACKSOLVE adjoint the
+    probes are treated as Monte-Carlo *constants* — differentiating the result
+    w.r.t. an explicitly passed `eps` yields zero gradients (the continuous
+    adjoint does not integrate an eps-cotangent block; see `ode/adjoint.py`).
+    Use `SolverOptions(adjoint=Adjoint.DIRECT)` if you genuinely need
+    gradients w.r.t. the probes.
     """
     _check_cond(icnf, ys)
     xs = jnp.asarray(xs, icnf.dtype)
@@ -425,9 +479,17 @@ def inference(
             z0 = jnp.concatenate([xs, a0], axis=-1)
         eps_key, steer_key = jax.random.split(key)
         if eps is not None:
+            if icnf.compute_mode.exact_trace:
+                # The exact-divergence field never reads probes; silently
+                # accepting (and ignoring) them would hide a config mistake.
+                raise ValueError(
+                    "eps= was given but compute_mode.exact_trace=True uses no "
+                    "Hutchinson probes; drop eps or use a stochastic mode"
+                )
             # Explicit probes must be (K, B, zdim); a 2-D (B, zdim) array is
             # accepted as K=1 shorthand.  Anything else would surface as an
             # inscrutable Pallas block-shape error deep in the fused kernel.
+            eps = jnp.asarray(eps, icnf.dtype)
             K = icnf.compute_mode.num_probes
             if eps.ndim == 2:
                 eps = eps[None]

@@ -72,6 +72,15 @@ class Dense(Module):
             y = self.activation(y)
         return y
 
+    def __repr__(self) -> str:
+        act = getattr(self.activation, "__name__", repr(self.activation))
+        parts = [f"{self.in_dim} -> {self.out_dim}"]
+        if self.activation is not None:
+            parts.append(act)
+        if not self.use_bias:
+            parts.append("bias=False")
+        return f"Dense({', '.join(parts)})"
+
 
 @dataclasses.dataclass(frozen=True)
 class Chain(Module):
@@ -93,6 +102,9 @@ class Chain(Module):
         for layer, p in zip(self.layers, params):
             x = layer.apply(p, x)
         return x
+
+    def __repr__(self) -> str:
+        return f"Chain({', '.join(repr(l) for l in self.layers)})"
 
 
 def MLP(
