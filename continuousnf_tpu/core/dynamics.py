@@ -163,12 +163,19 @@ def exact_tanh_mlp_trace_fro(params, z: jax.Array):
     """
     (p1, p2) = params
     w1, b1, w2, b2 = p1["w"], p1["b"], p2["w"], p2["b"]
+    dz = w1.shape[0]
     h = jnp.tanh(z @ w1 + b1)
     y = jnp.tanh(h @ w2 + b2)
     dh = 1.0 - h * h
     dy = 1.0 - y * y
-    tr = jnp.einsum("bi,hi,bh,ih->b", dy, w2, dh, w1)
-    m = jnp.einsum("ih,bh,hj->bij", w1, dh, w2)
+    # All dz^2 Jacobian inner sums in ONE (B, H) @ (H, dz^2) matmul:
+    # p2m[h, (i,j)] = w1[i,h] * w2[h,j], m[b,i,j] = sum_h w1[i,h] dh w2[h,j].
+    # The naive pairwise einsum lowering ("ih,bh,hj->bij") runs B tiny
+    # (dz, H) x (H, dz) matmuls — hostile to the MXU; this form is one big
+    # one (same trick as the fused `_stage_train_exact`).
+    p2m = (w1.T[:, :, None] * w2[:, None, :]).reshape(w1.shape[1], dz * dz)
+    m = (dh @ p2m).reshape(-1, dz, dz)
+    tr = jnp.einsum("bii,bi->b", m, dy)
     fro2 = jnp.einsum("bij,bj->b", m * m, dy * dy)
     pos = fro2 > 0
     fro = jnp.where(pos, jnp.sqrt(jnp.where(pos, fro2, 1.0)), 0.0)

@@ -25,13 +25,19 @@ Dynamics covered:
     one forward pass + K unrolled backward passes per stage), with RNODE
     regularizer rates (reference `src/icnf.jl:318-350`, which is K=1 only);
     state rows [z | dlogp | E | n].
+  * TRAIN exact (`ComputeMode.exact_trace`) — closed-form exact divergence
+    AND exact Jacobian Frobenius norm via one precomputed (dz^2, H) matmul
+    per stage (`_stage_train_exact`); the zero-variance estimator the
+    flagship density-gate recipe trains with (docs/FLAGSHIP_GATE.md) runs
+    fused at ~the K=1 Hutchinson cost.
   * TEST  — closed-form exact divergence of the 2-layer tanh MLP
     (see `fused_dynamics.exact_tanh_mlp_trace`); state rows [z | dlogp].
 
-Gradients: the megakernel is forward-only; training gradients flow through
-the continuous-adjoint custom_vjp (`ode/adjoint.py`), whose backward pass
-integrates the adjoint ODE with the plain XLA dynamics — the megakernel only
-replaces the forward solve inside that wrapper.
+Gradients: the forward megakernel sits inside the continuous-adjoint
+custom_vjp (`ode/adjoint.py`); the backward integration runs in the adjoint
+megakernel below (batch-tiled, param-grad blocks integrated in-kernel; in
+exact mode the precomputed pm matrix is differentiated as a fifth block and
+chained back to w1/w2 outside).
 """
 
 from __future__ import annotations
@@ -61,8 +67,12 @@ _EEST_FLOOR = 1.0e-4
 
 # VMEM budget guard: above this working-set estimate, fall back to the
 # per-stage path (the kernel keeps whole-batch state + stage registers
-# resident).
-_VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+# resident).  Half the scoped-VMEM limit below: the estimate is a rough
+# (conservative) live-set bound, and exact-trace stages carry (dz^2, B)
+# transients that blow past the old 10 MiB guard at bench batch sizes while
+# compiling fine under the 96 MiB scoped allocation (validated on-chip at
+# B=4096 exact / B=16384 Hutchinson).
+_VMEM_BUDGET_BYTES = 48 * 1024 * 1024
 
 # Mosaic's default scoped-VMEM allocation limit is 16 MiB — well under the
 # 128 MiB physical VMEM of a v5e core, and the adjoint megakernel's stack
@@ -162,6 +172,68 @@ def _stage_train(
     return y, rates
 
 
+def _stage_train_exact(zt, w1, b1c, w2, b2c, pm, erep, trsel, norm_z, norm_j, bf16=False):
+    """One exact-divergence TRAIN dynamics eval in (rows, B) layout.
+
+    The zero-variance analog of `_stage_train` (ComputeMode.exact_trace):
+    exact trace and exact Jacobian Frobenius norm via ONE extra matmul.  With
+    J[b]_ij = dy_i * sum_h W2[h,i] dh_h W1[j,h], precompute (per solve —
+    params are constant across stages)
+
+        pm[(i,j), h] = W2[h,i] * W1[j,h]            (dz^2, H)
+
+    so  Mflat = pm @ dh  gives all dz^2 Jacobian inner sums for the whole
+    batch in a single (dz^2, H) x (H, B) MXU pass.  `erep` ((dz^2, dz),
+    erep[(i,j), k] = delta_ik) replicates dy rows to (dz^2, B) and `trsel`
+    ((dz^2, 1), 1 at i==j) masks the diagonal:
+
+        m2 = Mflat * (erep @ dy)       # J entries, (dz^2, B)
+        tr = colsum(m2 * trsel)        # exact divergence
+        fro = sqrt(colsum(m2 * m2))    # exact ||J||_F (lambda2 rate)
+
+    Matmul-volume ~1.5x the K=1 Hutchinson stage — the exact-trace recipe
+    (the density-gate winner, docs/FLAGSHIP_GATE.md) runs at estimator-free
+    kernel speed instead of the unfused XLA path.
+    Reference: the exact-trace TrainMode family `/root/reference/src/icnf.jl:110-184`.
+    """
+    h = jnp.tanh(_mm(w1, zt, ((0,), (0,)), bf16) + b1c)  # (H, B)
+    y = jnp.tanh(_mm(w2, h, ((0,), (0,)), bf16) + b2c)  # (dz, B)
+    dh = 1.0 - h * h
+    dy = 1.0 - y * y
+    mflat = _mm(pm, dh, ((1,), (0,)), bf16)  # (dz^2, B)
+    dyrep = _mm(erep, dy, ((1,), (0,)), bf16)  # (dz^2, B)
+    m2 = mflat * dyrep
+    tr = jnp.sum(m2 * trsel, axis=0, keepdims=True)  # (1, B)
+    if norm_j:
+        fro_sq = jnp.sum(m2 * m2, axis=0, keepdims=True)
+        pos = fro_sq > 0
+        n_rate = jnp.where(pos, jnp.sqrt(jnp.where(pos, fro_sq, 1.0)), 0.0)
+    else:
+        n_rate = jnp.zeros_like(tr)
+    e_rate = _safe_col_norm(y) if norm_z else jnp.zeros_like(tr)
+    rates = jnp.concatenate([-tr, e_rate, n_rate], axis=0)  # (3, B)
+    return y, rates
+
+
+def exact_stage_consts(w1, w2):
+    """(pm, erep, trsel) for `_stage_train_exact` — pm is a (traced) function
+    of the params, erep/trsel are structural constants of dz."""
+    dz, H = w1.shape
+    pm = (w2.T[:, None, :] * w1[None, :, :]).reshape(dz * dz, H)
+    erep = jnp.repeat(jnp.eye(dz, dtype=w1.dtype), dz, axis=0)  # (dz^2, dz)
+    trsel = jnp.eye(dz, dtype=w1.dtype).reshape(dz * dz, 1)
+    return pm, erep, trsel
+
+
+def exact_pm_chain(g_pm, w1, w2):
+    """Chain a pm-cotangent back to (w1, w2): pm[(i,j),h] = w2[h,i]*w1[j,h]."""
+    dz, H = w1.shape
+    g = g_pm.reshape(dz, dz, H)
+    g_w2 = jnp.einsum("ijh,jh->hi", g, w1)
+    g_w1 = jnp.einsum("ijh,hi->jh", g, w2)
+    return g_w1, g_w2
+
+
 def _stage_test(zt, w1, b1c, w2, b2c, bf16: bool = False):
     """One TEST dynamics eval: closed-form exact divergence, (rows, B) layout.
 
@@ -202,24 +274,33 @@ def _make_solve_kernel(
     n_elems: int,
     bf16: bool = False,
     k_probes: int = 1,
+    exact: bool = False,
 ):
     """Build the kernel body.  All shapes/flags are baked in at trace time."""
     beta1 = 7.0 / (10.0 * tab.order)
     beta2 = 2.0 / (5.0 * tab.order)
 
     def kernel(ts_ref, z0_ref, *rest):
-        if train:
+        pm = erep = trsel = epst = None
+        if train and exact:
+            (pm_ref, er_ref, tsel_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+             zT_ref, accT_ref, st_ref) = rest
+            pm, erep, trsel = pm_ref[:], er_ref[:], tsel_ref[:]
+        elif train:
             eps_ref, w1_ref, b1_ref, w2_ref, b2_ref, zT_ref, accT_ref, st_ref = rest
             epst = eps_ref[:]
         else:
             w1_ref, b1_ref, w2_ref, b2_ref, zT_ref, accT_ref, st_ref = rest
-            epst = None
         w1 = w1_ref[:]
         b1c = b1_ref[:]
         w2 = w2_ref[:]
         b2c = b2_ref[:]
 
         def stage(zt):
+            if train and exact:
+                return _stage_train_exact(
+                    zt, w1, b1c, w2, b2c, pm, erep, trsel, norm_z, norm_j, bf16
+                )
             if train:
                 return _stage_train(
                     zt, epst, w1, b1c, w2, b2c, norm_z, norm_j, bf16, k_probes
@@ -332,10 +413,19 @@ def _make_solve_kernel(
 
 
 def _vmem_estimate(
-    tab: ButcherTableau, dz: int, hidden: int, B: int, nacc: int, k_probes: int = 1
+    tab: ButcherTableau,
+    dz: int,
+    hidden: int,
+    B: int,
+    nacc: int,
+    k_probes: int = 1,
+    exact: bool = False,
 ) -> int:
     """Rough live working-set bound (f32 bytes) for the budget guard."""
     rows = (tab.num_stages + 4) * (dz + nacc) + 6 * hidden + (1 + k_probes) * dz
+    if exact:
+        # mflat/dyrep/m2 (dz^2, B) transients of the exact stage.
+        rows += 3 * dz * dz
     return 4 * B * rows
 
 
@@ -359,6 +449,7 @@ def _run_solve_kernel(
     t0,
     t1,
     dt_init,
+    exact: bool = False,
 ):
     """Launch the megakernel.  z0 is (B, dz) batch-major, eps (K, B, dz);
     transposition to the kernel's (rows, B) layout happens here (one cheap
@@ -367,7 +458,7 @@ def _run_solve_kernel(
     H = w1.shape[1]
     nacc = 3 if train else 1
     n_elems = B * (dz + nacc)
-    k_probes = eps.shape[0] if train else 1
+    k_probes = eps.shape[0] if (train and not exact) else 1
 
     kernel = _make_solve_kernel(
         tab,
@@ -380,6 +471,7 @@ def _run_solve_kernel(
         n_elems=n_elems,
         bf16=bf16,
         k_probes=k_probes,
+        exact=exact,
     )
 
     ts = jnp.stack(
@@ -394,7 +486,11 @@ def _run_solve_kernel(
     vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     inputs = [ts, z0.T]
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM), vspec()]
-    if train:
+    if train and exact:
+        pm, erep, trsel = exact_stage_consts(w1, w2)
+        inputs += [pm, erep, trsel]
+        in_specs += [vspec(), vspec(), vspec()]
+    elif train:
         # (K, B, dz) -> probes stacked along the sublane axis, (K*dz, B).
         inputs.append(jnp.moveaxis(eps, 2, 1).reshape(k_probes * dz, B))
         in_specs.append(vspec())
@@ -432,6 +528,7 @@ def _make_adjoint_kernel(
     n_elems: int,
     bf16: bool = False,
     k_probes: int = 1,
+    exact: bool = False,
 ):
     """Kernel for the continuous-adjoint (backsolve) backward integration.
 
@@ -454,8 +551,16 @@ def _make_adjoint_kernel(
     beta1 = 7.0 / (10.0 * tab.order)
     beta2 = 2.0 / (5.0 * tab.order)
 
+    n_gp = 5 if (train and exact) else 4
+
     def kernel(ts_ref, z_ref, acc_ref, az_ref, aacc_ref, *rest):
-        if train:
+        pm = erep = trsel = epst = None
+        if train and exact:
+            (pm_ref, er_ref, tsel_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+             z0_ref, acc0_ref, az0_ref, gw1_ref, gb1_ref, gw2_ref, gb2_ref,
+             gpm_ref, st_ref) = rest
+            pm, erep, trsel = pm_ref[:], er_ref[:], tsel_ref[:]
+        elif train:
             (eps_ref, w1_ref, b1_ref, w2_ref, b2_ref,
              z0_ref, acc0_ref, az0_ref, gw1_ref, gb1_ref, gw2_ref, gb2_ref,
              st_ref) = rest
@@ -464,7 +569,6 @@ def _make_adjoint_kernel(
             (w1_ref, b1_ref, w2_ref, b2_ref,
              z0_ref, acc0_ref, az0_ref, gw1_ref, gb1_ref, gw2_ref, gb2_ref,
              st_ref) = rest
-            epst = None
         w1 = w1_ref[:]
         b1c = b1_ref[:]
         w2 = w2_ref[:]
@@ -472,10 +576,23 @@ def _make_adjoint_kernel(
         aacc = aacc_ref[:]  # constant over the backward solve
 
         def aug_stage(zi, azi):
-            """(kz, k_acc_rates, k_az, k_gp(4-tuple)).  The probes are closed
-            over as constants — no eps cotangent is computed (BACKSOLVE
-            treats them as non-differentiable; see ode/adjoint.py)."""
-            if train:
+            """(kz, k_acc_rates, k_az, k_gp(n_gp-tuple)).  The probes are
+            closed over as constants — no eps cotangent is computed (BACKSOLVE
+            treats them as non-differentiable; see ode/adjoint.py).  In exact
+            mode `pm` is differentiated as a fifth parameter block; its
+            cotangent chains back to (w1, w2) outside the kernel
+            (`exact_pm_chain`) — chaining after integration equals
+            integrating the chained quantity (the chain rule is linear and
+            time-independent)."""
+            if train and exact:
+                (kz, kr), vjp = jax.vjp(
+                    lambda z_, w1_, b1_, w2_, b2_, pm_: _stage_train_exact(
+                        z_, w1_, b1_, w2_, b2_, pm_, erep, trsel,
+                        norm_z, norm_j, bf16
+                    ),
+                    zi, w1, b1c, w2, b2c, pm,
+                )
+            elif train:
                 (kz, kr), vjp = jax.vjp(
                     lambda z_, w1_, b1_, w2_, b2_: _stage_train(
                         z_, epst, w1_, b1_, w2_, b2_, norm_z, norm_j, bf16, k_probes
@@ -489,8 +606,8 @@ def _make_adjoint_kernel(
                     ),
                     zi, w1, b1c, w2, b2c,
                 )
-            zb, w1b, b1b, w2b, b2b = vjp((azi, aacc))
-            return kz, kr, -zb, (-w1b, -b1b, -w2b, -b2b)
+            zb, *pbs = vjp((azi, aacc))
+            return kz, kr, -zb, tuple(-p for p in pbs)
 
         f32 = jnp.float32
         t0 = ts_ref[0, 0]  # solve runs t0 -> t1 = tspan end -> start
@@ -556,7 +673,7 @@ def _make_adjoint_kernel(
             acc_new = comb(acc, ksr, tab.b)
             az_new = comb(az, ksaz, tab.b)
             gp_new = tuple(
-                comb(gp[m], [k[m] for k in ksgp], tab.b) for m in range(4)
+                comb(gp[m], [k[m] for k in ksgp], tab.b) for m in range(n_gp)
             )
 
             zero = lambda x: jnp.zeros_like(x)
@@ -564,7 +681,7 @@ def _make_adjoint_kernel(
             err_acc = comb(zero(acc), ksr, tab.btilde)
             err_az = comb(zero(az), ksaz, tab.btilde)
             err_gp = tuple(
-                comb(zero(gp[m]), [k[m] for k in ksgp], tab.btilde) for m in range(4)
+                comb(zero(gp[m]), [k[m] for k in ksgp], tab.btilde) for m in range(n_gp)
             )
 
             def blk(err, old, new):
@@ -576,7 +693,7 @@ def _make_adjoint_kernel(
                 + blk(err_acc, acc, acc_new)
                 + blk(err_az, az, az_new)
             )
-            for m in range(4):
+            for m in range(n_gp):
                 sumsq = sumsq + blk(err_gp[m], gp[m], gp_new[m])
             # a_acc has zero rates: contributes 0 to sumsq but counts in n_elems.
             eest = jnp.sqrt(sumsq / n_elems)
@@ -610,11 +727,11 @@ def _make_adjoint_kernel(
                 sel(z_new, z),
                 sel(acc_new, acc),
                 sel(az_new, az),
-                tuple(sel(gp_new[m], gp[m]) for m in range(4)),
+                tuple(sel(gp_new[m], gp[m]) for m in range(n_gp)),
                 sel(ksz[-1], k1z),
                 sel(ksr[-1], k1r),
                 sel(ksaz[-1], k1az),
-                tuple(sel(ksgp[-1][m], k1gp[m]) for m in range(4)),
+                tuple(sel(ksgp[-1][m], k1gp[m]) for m in range(n_gp)),
             )
 
         final = jax.lax.while_loop(cond, body, init)
@@ -626,21 +743,21 @@ def _make_adjoint_kernel(
         # Param grads / stats accumulate across the (sequential) batch tiles.
         tile0 = pl.program_id(0) == 0
 
+        gp_refs = [gw1_ref, gb1_ref, gw2_ref, gb2_ref]
+        if n_gp == 5:
+            gp_refs.append(gpm_ref)
+
         @pl.when(tile0)
         def _():
-            gw1_ref[:] = gp_f[0]
-            gb1_ref[:] = gp_f[1]
-            gw2_ref[:] = gp_f[2]
-            gb2_ref[:] = gp_f[3]
+            for ref, g in zip(gp_refs, gp_f):
+                ref[:] = g
             st_ref[0, 0] = steps_f
             st_ref[0, 1] = accepted_f
 
         @pl.when(jnp.logical_not(tile0))
         def _():
-            gw1_ref[:] = gw1_ref[:] + gp_f[0]
-            gb1_ref[:] = gb1_ref[:] + gp_f[1]
-            gw2_ref[:] = gw2_ref[:] + gp_f[2]
-            gb2_ref[:] = gb2_ref[:] + gp_f[3]
+            for ref, g in zip(gp_refs, gp_f):
+                ref[:] = ref[:] + g
             st_ref[0, 0] = st_ref[0, 0] + steps_f
             st_ref[0, 1] = st_ref[0, 1] + accepted_f
 
@@ -671,9 +788,10 @@ def make_full_solve(
 
     Eligibility: opted in via `compute_mode.fused`; unconditional 2-layer
     tanh-MLP net; no passive augmentation; adaptive FSAL method with an
-    embedded error estimate; TRAIN additionally requires VJP mode with K=1
-    (the kernel's Hutchinson math).  The flat layout is the `ravel_pytree`
-    order of TrainState/TestState: [z.ravel() | dlogp | (reg_e | reg_n)].
+    embedded error estimate; stochastic TRAIN additionally requires VJP mode
+    (K >= 1 probes); exact-trace TRAIN is covered by its own stage
+    (`_stage_train_exact`).  The flat layout is the `ravel_pytree` order of
+    TrainState/TestState: [z.ravel() | dlogp | (reg_e | reg_n)].
     """
     if not _HAS_PALLAS:
         return None
@@ -696,20 +814,23 @@ def make_full_solve(
         # btilde3 methods (dop853) need the stretched error combine, which the
         # kernel's controller does not implement — XLA path handles them.
         return None
+    exact = False
     if mode == Mode.TRAIN:
         from ..types import ADMode
 
-        if cm.ad != ADMode.VJP or cm.exact_trace:
-            # The kernel's TRAIN math is the 1-probe Hutchinson estimator;
-            # exact_trace asks for the zero-variance exact divergence.
+        exact = cm.exact_trace
+        if not exact and cm.ad != ADMode.VJP:
+            # The stochastic TRAIN kernel math is the VJP Hutchinson
+            # estimator; exact_trace has its own stage (`_stage_train_exact`,
+            # AD-direction-free).
             return None
     if icnf.dtype != jnp.float32:
         return None
     dz = icnf.zdim
     hidden = icnf.nn.layers[0].out_dim
     nacc = 3 if mode == Mode.TRAIN else 1
-    K = cm.num_probes if mode == Mode.TRAIN else 1
-    if _vmem_estimate(tab, dz, hidden, batch, nacc, K) > _VMEM_BUDGET_BYTES:
+    K = cm.num_probes if (mode == Mode.TRAIN and not exact) else 1
+    if _vmem_estimate(tab, dz, hidden, batch, nacc, K, exact) > _VMEM_BUDGET_BYTES:
         return None
 
     train = mode == Mode.TRAIN
@@ -726,7 +847,17 @@ def make_full_solve(
         (two evals per solve)."""
         z = yf[: B * dz].reshape(B, dz)
         (p1, p2) = ps
-        if train:
+        if train and exact:
+            from ..core.dynamics import exact_tanh_mlp_trace_fro
+
+            y, tr, fro = exact_tanh_mlp_trace_fro(ps, z)
+            e_rate = jnp.linalg.norm(y, axis=-1)
+            rates = [
+                -tr,
+                e_rate if norm_z else jnp.zeros_like(tr),
+                fro if norm_j else jnp.zeros_like(tr),
+            ]
+        elif train:
             # K-probe field: tr and ndot average over probes (the mean the
             # kernel stage and `_hutchinson_field` both compute).
             trs, nrs = [], []
@@ -793,10 +924,11 @@ def make_full_solve(
             w2=p2["w"],
             b2=p2["b"],
             z0=z0,
-            eps=eps if train else None,
+            eps=eps if (train and not exact) else None,
             t0=t0,
             t1=t1,
             dt_init=dt_init,
+            exact=exact,
         )
         yTf = jnp.concatenate([zT.ravel()] + [accT[i] for i in range(accT.shape[0])])
         nfe_per = tab.num_stages - 1  # FSAL
@@ -808,13 +940,20 @@ def make_full_solve(
     # ---- backward (continuous adjoint) megakernel ----
 
     P_total = dz * hidden + hidden + hidden * dz + dz
+    if exact:
+        # The pm block is integrated as a fifth param-grad block (chained to
+        # w1/w2 outside the kernel afterwards).
+        P_total += dz * dz * hidden
 
     def _adjoint_tile_bytes(tile_b: int) -> int:
         # ~2.5x the forward working set (z and a_z stage registers plus the
         # vjp residuals of every unrolled stage; probes/eJ residuals scale
         # with K — no probe-grad block, the eps cotangent is not integrated).
+        # Exact mode adds the (dz^2, B)-shaped mflat/dyrep/m2 vjp residuals.
+        extra = 6 * dz * dz if exact else 0
         return 4 * tile_b * (
             2 * (tab.num_stages + 4) * (dz + nacc) + 8 * hidden + (4 + 2 * K) * dz
+            + extra
         )
 
     # Pick the largest divisor-of-B tile that fits the VMEM budget; each tile
@@ -839,7 +978,14 @@ def make_full_solve(
             pos = sq > 0
             return jnp.where(pos, jnp.sqrt(jnp.where(pos, sq, 1.0)), 0.0)
 
-        if train:
+        if train and exact:
+            from ..core.dynamics import exact_tanh_mlp_trace_fro
+
+            y2, tr, fro = exact_tanh_mlp_trace_fro(ps, z)
+            e_rate = safe_bm(y2) if norm_z else jnp.zeros_like(tr)
+            n_rate = fro if norm_j else jnp.zeros_like(tr)
+            rates = jnp.stack([-tr, e_rate, n_rate], axis=-1)  # (B, 3)
+        elif train:
             g2 = eps_b * (1.0 - y * y)  # (K, B, dz)
             gh = g2 @ w2.T
             g1 = gh * (1.0 - h * h)
@@ -868,7 +1014,7 @@ def make_full_solve(
 
         ps = args["ps"]
         eps = args.get("eps")
-        eps_b = eps if train else None  # full probe stack (K, B, dz)
+        eps_b = eps if (train and not exact) else None  # probe stack (K, B, dz)
         (p1, p2) = ps
 
         zT = yTf[: B * dz].reshape(B, dz)
@@ -942,6 +1088,7 @@ def make_full_solve(
             n_elems=n_elems_adj,
             bf16=bf16,
             k_probes=K,
+            exact=exact,
         )
         ts = jnp.stack(
             [t_hi, t_lo, jnp.asarray(dt_init, jnp.float32), jnp.asarray(0.0, jnp.float32)]
@@ -961,7 +1108,15 @@ def make_full_solve(
             btile(dz),
             btile(nacc),
         ]
-        if train:
+        if train and exact:
+            pm, erep, trsel = exact_stage_consts(p1["w"], p2["w"])
+            inputs += [pm, erep, trsel]
+            in_specs += [
+                wfull((dz * dz, hidden)),
+                wfull((dz * dz, dz)),
+                wfull((dz * dz, 1)),
+            ]
+        elif train:
             # (K, B, dz) -> (K*dz, B): probes stacked along the sublane axis.
             inputs.append(jnp.moveaxis(eps_b, 2, 1).reshape(K * dz, B))
             in_specs.append(btile(K * dz))
@@ -986,6 +1141,9 @@ def make_full_solve(
             wfull((hidden, dz)),
             wfull((dz, 1)),
         ]
+        if train and exact:
+            out_shape.append(jax.ShapeDtypeStruct((dz * dz, hidden), jnp.float32))
+            out_specs.append(wfull((dz * dz, hidden)))
         out_shape.append(jax.ShapeDtypeStruct((1, 2), jnp.int32))
         out_specs.append(pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM))
 
@@ -998,7 +1156,14 @@ def make_full_solve(
             interpret=interpret,
             compiler_params=_compiler_params(interpret),
         )(*inputs)
-        z0_t, acc0, az0_t, gw1, gb1, gw2, gb2, st = outs
+        if train and exact:
+            z0_t, acc0, az0_t, gw1, gb1, gw2, gb2, gpm, st = outs
+            # pm = f(w1, w2): chain its integrated cotangent back.
+            gw1_c, gw2_c = exact_pm_chain(gpm, p1["w"], p2["w"])
+            gw1 = gw1 + gw1_c
+            gw2 = gw2 + gw2_c
+        else:
+            z0_t, acc0, az0_t, gw1, gb1, gw2, gb2, st = outs
 
         y0f = jnp.concatenate([z0_t.T.ravel(), acc0.ravel()])
         a_y0f = jnp.concatenate([az0_t.T.ravel(), aaccT.ravel()])
@@ -1009,7 +1174,7 @@ def make_full_solve(
         g_args = dict(args)
         g_args["ps"] = g_ps
         g_args["ys"] = None
-        if train:
+        if train and not exact:
             # Probes are Monte-Carlo constants: zero cotangent by definition
             # of the BACKSOLVE path (matches ode/adjoint.py's generic bwd).
             g_args["eps"] = jnp.zeros_like(eps_b)

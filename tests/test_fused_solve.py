@@ -203,6 +203,99 @@ def test_k_probe_variance_reduction(setup):
     assert float(err4) < float(err1)
 
 
+def _make_exact(fused: bool, *, lam3=0.0, naug=2, steer=0.0):
+    nvars = 3
+    n_in = nvars + naug
+    nn = cnf.MLP((n_in, 3 * n_in, n_in))
+    return cnf.construct(
+        cnf.RNODE,
+        nn,
+        nvars,
+        naug,
+        steer_rate=steer,
+        lam3=lam3,
+        compute_mode=cnf.VecJacMode(fused=fused, exact_trace=True),
+    )
+
+
+def test_exact_trace_eligibility(setup):
+    """Round-4: the exact-divergence TRAIN config (the density-gate recipe)
+    is megakernel-eligible, forward and adjoint."""
+    icnf = _make_exact(True)
+    fs = make_full_solve(icnf, Mode.TRAIN, 16)
+    assert fs is not None and fs.adjoint is not None
+
+
+def test_exact_trace_forward_parity(setup):
+    """Fused exact-trace TRAIN solve == unfused XLA path: same controller
+    decisions, same logp and regularizer integrals."""
+    icnf_ref, icnf_fused = _make_exact(False), _make_exact(True)
+    ps = icnf_ref.init(jax.random.PRNGKey(0))
+    xs = jax.random.normal(jax.random.PRNGKey(1), (16, 3), jnp.float32)
+    key = jax.random.PRNGKey(3)
+    lp_ref, regs_ref, st_ref = cnf.inference(icnf_ref, Mode.TRAIN, xs, ps, key=key)
+    lp_f, regs_f, st_f = cnf.inference(icnf_fused, Mode.TRAIN, xs, ps, key=key)
+    # The pm-matmul reassociates the dz^2 trace/Frobenius sums, so a
+    # borderline controller decision may flip (same allowance as K>1 probes);
+    # values must still agree to solver tolerance.
+    assert abs(int(st_f.steps) - int(st_ref.steps)) <= 1
+    assert jnp.allclose(lp_f, lp_ref, rtol=1e-3, atol=1e-3)
+    assert jnp.allclose(regs_f.e, regs_ref.e, rtol=1e-3, atol=1e-3)
+    assert jnp.allclose(regs_f.n, regs_ref.n, rtol=1e-3, atol=1e-3)
+
+
+def test_exact_trace_matches_test_dynamics(setup):
+    """Exact-trace TRAIN logp is deterministic and equals the TEST-mode
+    (exact divergence) density on the same state — no estimator noise."""
+    icnf_fused = _make_exact(True)
+    ps = icnf_fused.init(jax.random.PRNGKey(0))
+    xs = jax.random.normal(jax.random.PRNGKey(1), (8, 3), jnp.float32)
+    lp_train, _, _ = cnf.inference(
+        icnf_fused, Mode.TRAIN, xs, ps, key=jax.random.PRNGKey(5)
+    )
+    lp_test, _, _ = cnf.inference(icnf_fused, Mode.TEST, xs, ps)
+    # TRAIN integrates extra accumulator rows -> slightly different adaptive
+    # grid; values agree to solver tolerance.
+    assert jnp.allclose(lp_train, lp_test, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_exact_trace_grad_parity(setup):
+    """Gradients through the exact-mode adjoint megakernel (pm chained back
+    to w1/w2) match the unfused continuous-adjoint path."""
+    icnf_ref, icnf_fused = _make_exact(False), _make_exact(True)
+    ps = icnf_ref.init(jax.random.PRNGKey(0))
+    xs = jax.random.normal(jax.random.PRNGKey(1), (16, 3), jnp.float32)
+    key = jax.random.PRNGKey(4)
+
+    def loss_of(icnf):
+        return lambda p: cnf.loss(icnf, Mode.TRAIN, xs, p, key=key)
+
+    g_ref = jax.grad(loss_of(icnf_ref))(ps)
+    g_f = jax.grad(loss_of(icnf_fused))(ps)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_f)):
+        assert jnp.allclose(a, b, rtol=2e-3, atol=2e-4), (a - b)
+
+
+@pytest.mark.slow
+def test_exact_trace_lam3_steer_grad(setup):
+    """The full flagship-recipe flag set (exact_trace + lambda3 + steering)
+    through the fused path: values and grads parity."""
+    icnf_ref = _make_exact(False, lam3=1e-2, steer=0.1)
+    icnf_fused = _make_exact(True, lam3=1e-2, steer=0.1)
+    ps = icnf_ref.init(jax.random.PRNGKey(0))
+    xs = jax.random.normal(jax.random.PRNGKey(1), (8, 3), jnp.float32)
+    key = jax.random.PRNGKey(6)
+    lp_ref, regs_ref, _ = cnf.inference(icnf_ref, Mode.TRAIN, xs, ps, key=key)
+    lp_f, regs_f, _ = cnf.inference(icnf_fused, Mode.TRAIN, xs, ps, key=key)
+    assert jnp.allclose(lp_f, lp_ref, rtol=1e-4, atol=1e-4)
+    assert jnp.allclose(regs_f.a, regs_ref.a, rtol=1e-4, atol=1e-4)
+    g_ref = jax.grad(lambda p: cnf.loss(icnf_ref, Mode.TRAIN, xs, p, key=key))(ps)
+    g_f = jax.grad(lambda p: cnf.loss(icnf_fused, Mode.TRAIN, xs, p, key=key))(ps)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_f)):
+        assert jnp.allclose(a, b, rtol=2e-3, atol=2e-4), (a - b)
+
+
 @pytest.mark.slow
 def test_bf16_stage_matmuls(setup):
     """bf16 stage matmuls (f32 state/accumulation) track the f32 kernel.
