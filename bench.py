@@ -136,7 +136,7 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     nn = cnf.MLP((n_in, 3 * n_in, n_in))
 
-    def mk(fused):
+    def mk(fused, exact=False):
         return cnf.construct(
             cnf.RNODE,
             nn,
@@ -148,7 +148,7 @@ def main():
             tspan=(0.0, 13.0),
             steer_rate=0.1,
             lam3=1e-2,
-            compute_mode=cnf.VecJacMode(fused=fused),
+            compute_mode=cnf.VecJacMode(fused=fused, exact_trace=exact),
         )
 
     icnf = mk(on_tpu)
@@ -199,9 +199,14 @@ def main():
     # solver's NFE counter.  This includes the in-kernel controller overhead
     # — it is the *effective* per-eval cost training actually pays.
     roofline = {}
+    adjoint_roofline = {}
+    exact_metrics = {}
     if on_tpu:
         from benchmarks.kernel_microbench import stage_chain_time
-        from continuousnf_tpu.utils.profiling import roofline_report
+        from continuousnf_tpu.utils.profiling import (
+            adjoint_roofline_report,
+            roofline_report,
+        )
 
         sol_s = stage_chain_time(ps, batch, n_in, 3 * n_in, bf16=False, length=2048, rtt=rtt)
 
@@ -234,6 +239,60 @@ def main():
         )
         roofline = {k: (round(v, 3) if isinstance(v, float) else v) for k, v in roofline.items()}
 
+        # Adjoint (backward) kernel roofline: measured per-attempt derived as
+        # (train step - forward solve - Lion update) / attempts — the Lion
+        # update is sub-us at this param count, and the backward solve's
+        # attempt count equals the forward's to within a step or two at equal
+        # tolerances.  Counter-independent slope-fit validation of the same
+        # quantity: tools/roofline_audit.py -> docs/ROOFLINE.md.
+        attempts = max(train_nfe // 6, 1)
+        adj_attempt_s = max(train_dt - dt_fused, 1e-9) / attempts
+        adjoint_roofline = {
+            k: (round(v, 3) if isinstance(v, float) else v)
+            for k, v in adjoint_roofline_report(
+                adj_attempt_s,
+                dt_fused / attempts,
+                batch,
+                n_in,
+                3 * n_in,
+                kind="train",
+                k_probes=1,
+            ).items()
+        }
+        adjoint_roofline["methodology"] = (
+            "derived (train_step - fwd_solve)/attempts; slope-fit "
+            "counter-independent audit in docs/ROOFLINE.md"
+        )
+
+        # The exact-divergence (density-gate recipe) config, fused since
+        # round 4 — bench reports BOTH configs (round-3 verdict item 2).
+        icnf_e = mk(True, exact=True)
+
+        def train_step_e(carry, i):
+            ps_, opt_state_ = carry
+            l, g = jax.value_and_grad(
+                lambda p: cnf.loss(
+                    icnf_e, Mode.TRAIN, xs, p, key=jax.random.fold_in(key, i)
+                )
+            )(ps_)
+            updates, opt_state_ = opt.update(g, opt_state_, ps_)
+            return optax.apply_updates(ps_, updates), opt_state_
+
+        exact_dt = time_scanned(train_step_e, (ps, opt_state), length=8, rtt=rtt)
+
+        @jax.jit
+        def exact_nfe_of(x):
+            _, _, stats = cnf.inference(icnf_e, Mode.TRAIN, x, ps, key=key)
+            return stats.nfe
+
+        exact_metrics = {
+            "train_samples_per_sec": round(batch / exact_dt, 1),
+            "train_step_ms": round(exact_dt * 1e3, 2),
+            "train_nfe_per_solve": int(exact_nfe_of(xs)),
+            "note": "exact_trace=True (zero-variance divergence; the recipe "
+            "that passes the density gate) through the fused megakernels",
+        }
+
     # Cross-round anchor: the ROUND-1 BUILD re-measured under this
     # methodology at this config (tools/bench_anchor.py).  No anchor file ->
     # no trend claim (null), never a mixed-methodology ratio.
@@ -263,6 +322,8 @@ def main():
                     "rtt_ms": round(rtt * 1e3, 2),
                     "fused_kernel": on_tpu,
                     "fused_kernel_roofline": roofline,
+                    "adjoint_kernel_roofline": adjoint_roofline,
+                    "exact_trace_config": exact_metrics,
                     "solver": "tsit5 rtol=1e-3 atol=1e-6 (reference effective default)",
                     "tspan": [0.0, 13.0],
                     "anchor": anchor,

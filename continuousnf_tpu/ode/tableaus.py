@@ -8,9 +8,10 @@ reference solves (`/root/reference/src/base_icnf.jl:137-143`).
 
 Method "auto" mirrors that default algorithm's loose/tight tolerance split
 (`/root/reference/Project.toml:28` pulls OrdinaryDiffEqDefault, which pairs
-Tsit5 with the higher-order Vern7 for tight tolerances): rtol >= 1e-6 picks
-Tsit5, tighter picks Dop853 — the classic 8(5,3) high-accuracy explicit
-method, filling Vern7's role here with machine-exact published coefficients.
+Tsit5 with the higher-order Vern7 for tight tolerances): rtol > 5e-4 picks
+Tsit5; tighter picks the 6th-order Verner pair (VERNER65 — Vern7's
+NFE-efficiency role, covering the README-recommended rtol=sqrt(eps(f32)));
+rtol < 1e-7 picks Dop853, the classic 8(5,3) high-accuracy method.
 A stiff fallback exists as `SolverOptions(method="trbdf2")` (L-stable ESDIRK
 with matrix-free Newton–GMRES stages, `implicit.py`); "auto" deliberately
 never selects it because CNF vector fields are smooth bounded neural nets
@@ -210,11 +211,47 @@ DOP853 = ButcherTableau(
 )
 
 
+# Verner's 1978 efficient 6(5) embedded pair (the "DVERK" method; J.H.
+# Verner, "Explicit Runge-Kutta methods with estimates of the local
+# truncation error", SIAM J. Numer. Anal. 15, 1978).  Exact rational
+# coefficients (floats below are the correctly-rounded values); both orders
+# verified empirically in tests/test_ode.py::test_verner65_order (local
+# error slopes 7 / 6 on nonlinear scalar+vector ODEs).  Fills the reference
+# `DefaultODEAlgorithm`'s Vern7 role — the NFE-efficient member at tight
+# tolerances (`/root/reference/Project.toml:28`, `src/base_icnf.jl:141`)
+# where dop853's 8th order overshoots (docs/SOLVER_PARITY.md).
+VERNER65 = ButcherTableau(
+    name="verner65",
+    a=(
+        (),
+        (0.16666666666666666,),
+        (0.05333333333333334, 0.21333333333333335),
+        (0.8333333333333334, -2.6666666666666665, 2.5),
+        (-2.578125, 9.166666666666666, -6.640625, 0.8854166666666666),
+        (2.4, -8.0, 6.560457516339869, -0.3055555555555556, 0.34509803921568627),
+        (-0.5508666666666666, 1.6533333333333333, -0.9455882352941176, -0.324, 0.23378823529411766, 0.0),
+        (2.03546511627907, -6.976744186046512, 5.648179814561484, -0.13738156761412576, 0.2863022661036103, 0.0, 0.1441785567164738),
+    ),
+    b=(0.075, 0.0, 0.3899286987522282, 0.3194444444444444, 0.1350383631713555, 0.0, 0.010783298826777088, 0.0698051948051948),
+    btilde=(-0.00625, 0.0, -0.00696301247771836, 0.006944444444444444, -0.006138107416879796, -0.06818181818181818, 0.010783298826777088, 0.0698051948051948),
+    c=(0.0, 0.16666666666666666, 0.26666666666666666, 0.6666666666666666, 0.8333333333333334, 1.0, 0.06666666666666667, 1.0),
+    order=6,
+    fsal=False,
+)
+
+
 def select_method(rtol: float) -> str:
-    """The "auto" heuristic: Tsit5 for loose tolerances, Dop853 for tight
-    (the OrdinaryDiffEqDefault non-stiff Tsit5/Vern7 split; see module doc).
+    """The "auto" heuristic, mirroring OrdinaryDiffEqDefault's non-stiff
+    Tsit5/Vern7 pairing (see module doc): Tsit5 at working tolerances,
+    the 6th-order Verner pair where Vern7 would engage (tight tolerances —
+    including the reference README's recommended rtol=sqrt(eps(f32))), and
+    Dop853 for very tight requests.
     """
-    return "tsit5" if rtol >= 1.0e-6 else "dop853"
+    if rtol > 5.0e-4:
+        return "tsit5"
+    if rtol >= 1.0e-7:
+        return "verner65"
+    return "dop853"
 
 
 def get_tableau(method: str, rtol: float):
@@ -242,8 +279,9 @@ TABLEAUS = {
     "bosh3": BOSH3,
     "dopri5": DOPRI5,
     "tsit5": TSIT5,
+    "verner65": VERNER65,
     "dop853": DOP853,
     **_implicit_tableaus(),
 }
 
-__all__ = ["ButcherTableau", "TABLEAUS", "EULER", "MIDPOINT", "RK4", "BOSH3", "DOPRI5", "TSIT5", "DOP853", "select_method", "get_tableau"]
+__all__ = ["ButcherTableau", "TABLEAUS", "EULER", "MIDPOINT", "RK4", "BOSH3", "DOPRI5", "TSIT5", "VERNER65", "DOP853", "select_method", "get_tableau"]

@@ -172,7 +172,7 @@ def _stage_train(
     return y, rates
 
 
-def _stage_train_exact(zt, w1, b1c, w2, b2c, pm, erep, trsel, norm_z, norm_j, bf16=False):
+def _stage_train_exact(zt, w1, b1c, w2, b2c, pm, norm_z, norm_j, bf16=False):
     """One exact-divergence TRAIN dynamics eval in (rows, B) layout.
 
     The zero-variance analog of `_stage_train` (ComputeMode.exact_trace):
@@ -182,30 +182,35 @@ def _stage_train_exact(zt, w1, b1c, w2, b2c, pm, erep, trsel, norm_z, norm_j, bf
 
         pm[(i,j), h] = W2[h,i] * W1[j,h]            (dz^2, H)
 
-    so  Mflat = pm @ dh  gives all dz^2 Jacobian inner sums for the whole
-    batch in a single (dz^2, H) x (H, B) MXU pass.  `erep` ((dz^2, dz),
-    erep[(i,j), k] = delta_ik) replicates dy rows to (dz^2, B) and `trsel`
-    ((dz^2, 1), 1 at i==j) masks the diagonal:
+    so  mflat = pm @ dh  gives all dz^2 Jacobian inner sums for the whole
+    batch in a single (dz^2, H) x (H, B) MXU pass.  The (dz^2, B) block is
+    then immediately collapsed along a leading-dim reshape — (dz, dz, B),
+    reduce axis 1 — into (dz, B) partials:
 
-        m2 = Mflat * (erep @ dy)       # J entries, (dz^2, B)
-        tr = colsum(m2 * trsel)        # exact divergence
-        fro = sqrt(colsum(m2 * m2))    # exact ||J||_F (lambda2 rate)
+        s[i] = sum_j mflat[i,j]^2      d[i] = mflat[i,i]
+        tr = sum_i dy_i * d_i          fro^2 = sum_i dy_i^2 * s_i
 
+    Keeping exactly ONE (dz^2, B)-sized array alive matters: the first
+    version materialized three (mflat, a dy-replication matmul, and their
+    product) and measured 19.2 us/NFE at B=4096 — the ~12 MB/stage of
+    transients spilled to HBM (~14.6 us at 819 GB/s, the whole gap).
     Matmul-volume ~1.5x the K=1 Hutchinson stage — the exact-trace recipe
     (the density-gate winner, docs/FLAGSHIP_GATE.md) runs at estimator-free
     kernel speed instead of the unfused XLA path.
     Reference: the exact-trace TrainMode family `/root/reference/src/icnf.jl:110-184`.
     """
+    dz = zt.shape[0]
     h = jnp.tanh(_mm(w1, zt, ((0,), (0,)), bf16) + b1c)  # (H, B)
     y = jnp.tanh(_mm(w2, h, ((0,), (0,)), bf16) + b2c)  # (dz, B)
     dh = 1.0 - h * h
     dy = 1.0 - y * y
     mflat = _mm(pm, dh, ((1,), (0,)), bf16)  # (dz^2, B)
-    dyrep = _mm(erep, dy, ((1,), (0,)), bf16)  # (dz^2, B)
-    m2 = mflat * dyrep
-    tr = jnp.sum(m2 * trsel, axis=0, keepdims=True)  # (1, B)
+    m3 = mflat.reshape(dz, dz, mflat.shape[-1])  # (dz, dz, B): [i, j, b]
+    d = jnp.sum(m3 * _eye3(dz, m3.dtype), axis=1)  # diag J_ii inner sums
+    tr = jnp.sum(dy * d, axis=0, keepdims=True)  # (1, B)
     if norm_j:
-        fro_sq = jnp.sum(m2 * m2, axis=0, keepdims=True)
+        s = jnp.sum(m3 * m3, axis=1)  # (dz, B)
+        fro_sq = jnp.sum(dy * dy * s, axis=0, keepdims=True)
         pos = fro_sq > 0
         n_rate = jnp.where(pos, jnp.sqrt(jnp.where(pos, fro_sq, 1.0)), 0.0)
     else:
@@ -215,14 +220,19 @@ def _stage_train_exact(zt, w1, b1c, w2, b2c, pm, erep, trsel, norm_z, norm_j, bf
     return y, rates
 
 
+def _eye3(dz: int, dtype):
+    """(dz, dz, 1) identity mask built from iota (Mosaic-friendly constant)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (dz, dz, 1), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (dz, dz, 1), 1)
+    return (row == col).astype(dtype)
+
+
 def exact_stage_consts(w1, w2):
-    """(pm, erep, trsel) for `_stage_train_exact` — pm is a (traced) function
-    of the params, erep/trsel are structural constants of dz."""
+    """pm for `_stage_train_exact` — a (traced) function of the params,
+    precomputed once per solve (params are constant across stages)."""
     dz, H = w1.shape
     pm = (w2.T[:, None, :] * w1[None, :, :]).reshape(dz * dz, H)
-    erep = jnp.repeat(jnp.eye(dz, dtype=w1.dtype), dz, axis=0)  # (dz^2, dz)
-    trsel = jnp.eye(dz, dtype=w1.dtype).reshape(dz * dz, 1)
-    return pm, erep, trsel
+    return pm
 
 
 def exact_pm_chain(g_pm, w1, w2):
@@ -248,6 +258,189 @@ def _stage_test(zt, w1, b1c, w2, b2c, bf16: bool = False):
     mdh = _mm(m, dh, ((1,), (0,)), bf16)
     tr = jnp.sum(dy * mdh, axis=0, keepdims=True)  # (1, B)
     return y, -tr
+
+
+def _ct_safe_norm(ct, norm):
+    """Cotangent factor of `_safe_col_norm`: ct/||v|| with 0 at v=0 (the same
+    subgradient jax.vjp derives from the double-where)."""
+    pos = norm > 0
+    return jnp.where(pos, ct / jnp.where(pos, norm, 1.0), 0.0)
+
+
+def _stage_train_fwdbwd(
+    zt, epst, w1, b1c, w2, b2c, norm_z, norm_j, bf16, k_probes, ct_y, ct_r
+):
+    """Forward + hand-derived VJP of `_stage_train` in one pass.
+
+    Semantically `jax.vjp(_stage_train, ...)` applied to `(ct_y, ct_r)` — but
+    written so every cotangent matmul produces its output directly in the
+    kernel's (rows, B) layout.  JAX's dot transpose rule emits param-grad and
+    activation-grad dots whose results land batch-major and are then
+    `transpose`d back: four (B, H)/(B, dz)-sized relayouts per stage, pure
+    VPU shuffle work that measured as large as the matmuls themselves
+    (docs/ROOFLINE.md round-4 audit).  Returns
+    (kz, kr, ct_zt, ct_w1, ct_b1, ct_w2, ct_b2), cotangents unnegated.
+    """
+    dz = zt.shape[0]
+    c00, c10, cB = ((0,), (0,)), ((1,), (0,)), ((1,), (1,))
+    h = jnp.tanh(_mm(w1, zt, c00, bf16) + b1c)  # (H, B)
+    y = jnp.tanh(_mm(w2, h, c00, bf16) + b2c)  # (dz, B)
+    dy = 1.0 - y * y
+    dh = 1.0 - h * h
+
+    # forward probe loop (residuals kept for the backward loop)
+    g2s, ghs, g1s, eJs, ns = [], [], [], [], []
+    tr = None
+    n_rate = None
+    for k in range(k_probes):
+        ek = epst[k * dz : (k + 1) * dz] if k_probes > 1 else epst
+        g2 = ek * dy
+        gh = _mm(w2, g2, c10, bf16)
+        g1 = gh * dh
+        eJ = _mm(w1, g1, c10, bf16)
+        g2s.append(g2)
+        ghs.append(gh)
+        g1s.append(g1)
+        eJs.append(eJ)
+        tr_k = jnp.sum(eJ * ek, axis=0, keepdims=True)
+        tr = tr_k if tr is None else tr + tr_k
+        if norm_j:
+            nk = _safe_col_norm(eJ)
+            ns.append(nk)
+            n_rate = nk if n_rate is None else n_rate + nk
+    if k_probes > 1:
+        tr = tr / k_probes
+        if norm_j:
+            n_rate = n_rate / k_probes
+    e_rate = _safe_col_norm(y) if norm_z else jnp.zeros_like(tr)
+    if not norm_j:
+        n_rate = jnp.zeros_like(tr)
+    kr = jnp.concatenate([-tr, e_rate, n_rate], axis=0)
+
+    # backward
+    inv_k = 1.0 / k_probes
+    ct_tr = (-inv_k) * ct_r[0:1]  # rates row 0 is -tr; mean over probes
+    ct_n = (inv_k * ct_r[2:3]) if norm_j else None
+    ct_ytot = ct_y
+    if norm_z:
+        ct_ytot = ct_ytot + y * _ct_safe_norm(ct_r[1:2], e_rate)
+    ct_w1 = ct_w2 = ct_h = None
+    for k in range(k_probes):
+        ek = epst[k * dz : (k + 1) * dz] if k_probes > 1 else epst
+        ct_eJ = ek * ct_tr
+        if norm_j:
+            ct_eJ = ct_eJ + eJs[k] * _ct_safe_norm(ct_n, ns[k])
+        # eJ = w1 @ g1
+        ct_g1 = _mm(w1, ct_eJ, c00, bf16)  # (H, B)
+        w1g = _mm(ct_eJ, g1s[k], cB, bf16)  # (dz, H)
+        ct_w1 = w1g if ct_w1 is None else ct_w1 + w1g
+        # g1 = gh * dh
+        ct_gh = ct_g1 * dh
+        hk = (-2.0 * h) * (ct_g1 * ghs[k])
+        ct_h = hk if ct_h is None else ct_h + hk
+        # gh = w2 @ g2
+        ct_g2 = _mm(w2, ct_gh, c00, bf16)  # (dz, B)
+        w2g = _mm(ct_gh, g2s[k], cB, bf16)  # (H, dz)
+        ct_w2 = w2g if ct_w2 is None else ct_w2 + w2g
+        # g2 = eps * dy
+        ct_ytot = ct_ytot + (-2.0 * y) * (ek * ct_g2)
+    ct_pre2 = ct_ytot * dy
+    ct_h = ct_h + _mm(w2, ct_pre2, c10, bf16)
+    ct_w2 = ct_w2 + _mm(h, ct_pre2, cB, bf16)
+    ct_b2 = jnp.sum(ct_pre2, axis=1, keepdims=True)
+    ct_pre1 = ct_h * dh
+    ct_zt = _mm(w1, ct_pre1, c10, bf16)
+    ct_w1 = ct_w1 + _mm(zt, ct_pre1, cB, bf16)
+    ct_b1 = jnp.sum(ct_pre1, axis=1, keepdims=True)
+    return y, kr, ct_zt, ct_w1, ct_b1, ct_w2, ct_b2
+
+
+def _stage_train_exact_fwdbwd(
+    zt, w1, b1c, w2, b2c, pm, norm_z, norm_j, bf16, ct_y, ct_r
+):
+    """Forward + hand-derived VJP of `_stage_train_exact` (see
+    `_stage_train_fwdbwd` for why not jax.vjp; same single-live-(dz^2,B)
+    discipline as the forward stage).  Returns
+    (kz, kr, ct_zt, ct_w1, ct_b1, ct_w2, ct_b2, ct_pm), unnegated."""
+    dz = zt.shape[0]
+    c00, c10, cB = ((0,), (0,)), ((1,), (0,)), ((1,), (1,))
+    h = jnp.tanh(_mm(w1, zt, c00, bf16) + b1c)
+    y = jnp.tanh(_mm(w2, h, c00, bf16) + b2c)
+    dh = 1.0 - h * h
+    dy = 1.0 - y * y
+    mflat = _mm(pm, dh, c10, bf16)  # (dz^2, B)
+    m3 = mflat.reshape(dz, dz, mflat.shape[-1])
+    eye3 = _eye3(dz, m3.dtype)
+    d = jnp.sum(m3 * eye3, axis=1)  # (dz, B)
+    tr = jnp.sum(dy * d, axis=0, keepdims=True)
+    s = jnp.sum(m3 * m3, axis=1)  # (dz, B)
+    if norm_j:
+        fro_sq = jnp.sum(dy * dy * s, axis=0, keepdims=True)
+        pos = fro_sq > 0
+        n_rate = jnp.where(pos, jnp.sqrt(jnp.where(pos, fro_sq, 1.0)), 0.0)
+    else:
+        n_rate = jnp.zeros_like(tr)
+    e_rate = _safe_col_norm(y) if norm_z else jnp.zeros_like(tr)
+    kr = jnp.concatenate([-tr, e_rate, n_rate], axis=0)
+
+    ct_tr = -ct_r[0:1]
+    ct_d = dy * ct_tr  # (dz, B)
+    ct_dy = d * ct_tr
+    if norm_j:
+        # n = sqrt(fro2) -> dn/dfro2 = 1/(2n), safe at 0.
+        ct_fro2 = 0.5 * _ct_safe_norm(ct_r[2:3], n_rate)
+        ct_s = (dy * dy) * ct_fro2
+        ct_dy = ct_dy + 2.0 * dy * s * ct_fro2
+    else:
+        ct_s = None
+    ct_m3 = eye3 * ct_d[:, None, :]
+    if ct_s is not None:
+        ct_m3 = ct_m3 + (2.0 * ct_s[:, None, :]) * m3
+    ct_mflat = ct_m3.reshape(dz * dz, mflat.shape[-1])
+    ct_dh = _mm(pm, ct_mflat, c00, bf16)  # (H, B)
+    ct_pm = _mm(ct_mflat, dh, cB, bf16)  # (dz^2, H)
+    ct_ytot = ct_y + (-2.0 * y) * ct_dy
+    if norm_z:
+        ct_ytot = ct_ytot + y * _ct_safe_norm(ct_r[1:2], e_rate)
+    ct_pre2 = ct_ytot * dy
+    ct_h = _mm(w2, ct_pre2, c10, bf16) + (-2.0 * h) * ct_dh
+    ct_w2 = _mm(h, ct_pre2, cB, bf16)
+    ct_b2 = jnp.sum(ct_pre2, axis=1, keepdims=True)
+    ct_pre1 = ct_h * dh
+    ct_zt = _mm(w1, ct_pre1, c10, bf16)
+    ct_w1 = _mm(zt, ct_pre1, cB, bf16)
+    ct_b1 = jnp.sum(ct_pre1, axis=1, keepdims=True)
+    return y, kr, ct_zt, ct_w1, ct_b1, ct_w2, ct_b2, ct_pm
+
+
+def _stage_test_fwdbwd(zt, w1, b1c, w2, b2c, bf16, ct_y, ct_r):
+    """Forward + hand-derived VJP of `_stage_test` (closed-form exact
+    divergence).  `ct_r` is the (1, B) cotangent of the -tr rate row.
+    Returns (kz, kr, ct_zt, ct_w1, ct_b1, ct_w2, ct_b2), unnegated."""
+    c00, c10, cB = ((0,), (0,)), ((1,), (0,)), ((1,), (1,))
+    h = jnp.tanh(_mm(w1, zt, c00, bf16) + b1c)
+    y = jnp.tanh(_mm(w2, h, c00, bf16) + b2c)
+    dh = 1.0 - h * h
+    dy = 1.0 - y * y
+    m = w1 * w2.T  # (dz, H) — small
+    mdh = _mm(m, dh, c10, bf16)  # (dz, B)
+    tr = jnp.sum(dy * mdh, axis=0, keepdims=True)
+
+    ct_tr = -ct_r[0:1]
+    ct_dy = mdh * ct_tr
+    ct_mdh = dy * ct_tr
+    ct_dh = _mm(m, ct_mdh, c00, bf16)  # (H, B)
+    ct_m = _mm(ct_mdh, dh, cB, bf16)  # (dz, H) — small
+    ct_ytot = ct_y + (-2.0 * y) * ct_dy
+    ct_pre2 = ct_ytot * dy
+    ct_h = _mm(w2, ct_pre2, c10, bf16) + (-2.0 * h) * ct_dh
+    ct_w2 = _mm(h, ct_pre2, cB, bf16) + (ct_m * w1).T  # small transpose
+    ct_b2 = jnp.sum(ct_pre2, axis=1, keepdims=True)
+    ct_pre1 = ct_h * dh
+    ct_zt = _mm(w1, ct_pre1, c10, bf16)
+    ct_w1 = _mm(zt, ct_pre1, cB, bf16) + ct_m * w2.T
+    ct_b1 = jnp.sum(ct_pre1, axis=1, keepdims=True)
+    return y, -tr, ct_zt, ct_w1, ct_b1, ct_w2, ct_b2
 
 
 class _Carry(NamedTuple):
@@ -281,11 +474,11 @@ def _make_solve_kernel(
     beta2 = 2.0 / (5.0 * tab.order)
 
     def kernel(ts_ref, z0_ref, *rest):
-        pm = erep = trsel = epst = None
+        pm = epst = None
         if train and exact:
-            (pm_ref, er_ref, tsel_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+            (pm_ref, w1_ref, b1_ref, w2_ref, b2_ref,
              zT_ref, accT_ref, st_ref) = rest
-            pm, erep, trsel = pm_ref[:], er_ref[:], tsel_ref[:]
+            pm = pm_ref[:]
         elif train:
             eps_ref, w1_ref, b1_ref, w2_ref, b2_ref, zT_ref, accT_ref, st_ref = rest
             epst = eps_ref[:]
@@ -299,7 +492,7 @@ def _make_solve_kernel(
         def stage(zt):
             if train and exact:
                 return _stage_train_exact(
-                    zt, w1, b1c, w2, b2c, pm, erep, trsel, norm_z, norm_j, bf16
+                    zt, w1, b1c, w2, b2c, pm, norm_z, norm_j, bf16
                 )
             if train:
                 return _stage_train(
@@ -487,9 +680,8 @@ def _run_solve_kernel(
     inputs = [ts, z0.T]
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM), vspec()]
     if train and exact:
-        pm, erep, trsel = exact_stage_consts(w1, w2)
-        inputs += [pm, erep, trsel]
-        in_specs += [vspec(), vspec(), vspec()]
+        inputs.append(exact_stage_consts(w1, w2))
+        in_specs.append(vspec())
     elif train:
         # (K, B, dz) -> probes stacked along the sublane axis, (K*dz, B).
         inputs.append(jnp.moveaxis(eps, 2, 1).reshape(k_probes * dz, B))
@@ -554,12 +746,12 @@ def _make_adjoint_kernel(
     n_gp = 5 if (train and exact) else 4
 
     def kernel(ts_ref, z_ref, acc_ref, az_ref, aacc_ref, *rest):
-        pm = erep = trsel = epst = None
+        pm = epst = None
         if train and exact:
-            (pm_ref, er_ref, tsel_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+            (pm_ref, w1_ref, b1_ref, w2_ref, b2_ref,
              z0_ref, acc0_ref, az0_ref, gw1_ref, gb1_ref, gw2_ref, gb2_ref,
              gpm_ref, st_ref) = rest
-            pm, erep, trsel = pm_ref[:], er_ref[:], tsel_ref[:]
+            pm = pm_ref[:]
         elif train:
             (eps_ref, w1_ref, b1_ref, w2_ref, b2_ref,
              z0_ref, acc0_ref, az0_ref, gw1_ref, gb1_ref, gw2_ref, gb2_ref,
@@ -583,30 +775,27 @@ def _make_adjoint_kernel(
             cotangent chains back to (w1, w2) outside the kernel
             (`exact_pm_chain`) — chaining after integration equals
             integrating the chained quantity (the chain rule is linear and
-            time-independent)."""
+            time-independent).
+
+            Hand-derived fwd+bwd (`_stage_*_fwdbwd`) instead of `jax.vjp`:
+            AD's dot transpose rule materializes four big batch-major
+            relayouts per stage (see `_stage_train_fwdbwd`); the hand form is
+            transpose-free and tested equal to jax.vjp
+            (tests/test_fused_solve.py::test_fwdbwd_matches_jax_vjp)."""
             if train and exact:
-                (kz, kr), vjp = jax.vjp(
-                    lambda z_, w1_, b1_, w2_, b2_, pm_: _stage_train_exact(
-                        z_, w1_, b1_, w2_, b2_, pm_, erep, trsel,
-                        norm_z, norm_j, bf16
-                    ),
+                kz, kr, zb, *pbs = _stage_train_exact_fwdbwd(
                     zi, w1, b1c, w2, b2c, pm,
+                    norm_z, norm_j, bf16, azi, aacc,
                 )
             elif train:
-                (kz, kr), vjp = jax.vjp(
-                    lambda z_, w1_, b1_, w2_, b2_: _stage_train(
-                        z_, epst, w1_, b1_, w2_, b2_, norm_z, norm_j, bf16, k_probes
-                    ),
-                    zi, w1, b1c, w2, b2c,
+                kz, kr, zb, *pbs = _stage_train_fwdbwd(
+                    zi, epst, w1, b1c, w2, b2c,
+                    norm_z, norm_j, bf16, k_probes, azi, aacc,
                 )
             else:
-                (kz, kr), vjp = jax.vjp(
-                    lambda z_, w1_, b1_, w2_, b2_: _stage_test(
-                        z_, w1_, b1_, w2_, b2_, bf16
-                    ),
-                    zi, w1, b1c, w2, b2c,
+                kz, kr, zb, *pbs = _stage_test_fwdbwd(
+                    zi, w1, b1c, w2, b2c, bf16, azi, aacc
                 )
-            zb, *pbs = vjp((azi, aacc))
             return kz, kr, -zb, tuple(-p for p in pbs)
 
         f32 = jnp.float32
@@ -1109,13 +1298,8 @@ def make_full_solve(
             btile(nacc),
         ]
         if train and exact:
-            pm, erep, trsel = exact_stage_consts(p1["w"], p2["w"])
-            inputs += [pm, erep, trsel]
-            in_specs += [
-                wfull((dz * dz, hidden)),
-                wfull((dz * dz, dz)),
-                wfull((dz * dz, 1)),
-            ]
+            inputs.append(exact_stage_consts(p1["w"], p2["w"]))
+            in_specs.append(wfull((dz * dz, hidden)))
         elif train:
             # (K, B, dz) -> (K*dz, B): probes stacked along the sublane axis.
             inputs.append(jnp.moveaxis(eps_b, 2, 1).reshape(K * dz, B))

@@ -99,6 +99,83 @@ def mxu_issue_sol_s(B: int, dz: int, H: int, chip: ChipSpec = V5E, state_dim: in
     }
 
 
+def stage_mxu_units(dz: int, H: int, kind: str, k_probes: int = 1, backward: bool = False) -> int:
+    """MXU *issue units* of one dynamics-stage evaluation.
+
+    One unit = streaming B rows through the 128x128 array with (sub-128)
+    contraction and output-channel dims padded — the quantity the MXU-issue
+    floor charges per matmul (`mxu_issue_sol_s`).  A matmul whose non-batch
+    output dim or contraction dim exceeds 128 counts multiple units
+    (e.g. the exact stage's (dz^2, H) @ (H, B) pm matmul at dz=16 is
+    ceil(256/128) = 2 units).  `backward=True` adds the hand-derived VJP's
+    matmuls (`_stage_*_fwdbwd` in ops/fused_solve.py).
+    """
+    up = lambda n: -(-n // 128)  # ceil division by the MXU tile
+    u_small = up(dz) * up(H)  # standard (dz|H, B) stage matmul, usually 1
+    if kind == "train":
+        fwd = 2 * u_small + 2 * k_probes * u_small
+        bwd = 4 * k_probes * u_small + 4 * u_small
+    elif kind == "exact":
+        u_pm = up(dz * dz) * up(H)
+        u_er = up(dz * dz) * up(dz)
+        fwd = 2 * u_small + u_pm + u_er
+        bwd = u_pm + u_pm + u_er + 4 * u_small  # ct_dh, ct_pm, ct_dy, tail
+    elif kind == "test":
+        fwd = 3 * u_small
+        bwd = 2 * u_small + 4 * u_small  # ct_dh, ct_m, tail
+    else:
+        raise ValueError(kind)
+    return fwd + (bwd if backward else 0)
+
+
+def adjoint_roofline_report(
+    measured_attempt_s: float,
+    fwd_attempt_s: float,
+    B: int,
+    dz: int,
+    H: int,
+    *,
+    kind: str = "train",
+    k_probes: int = 1,
+    stages_per_attempt: int = 6,
+    chip: ChipSpec = V5E,
+) -> dict:
+    """Ceiling model + utilization for the adjoint (backward) megakernel.
+
+    The adjoint stage recomputes the forward dynamics and applies the
+    hand-derived VJP (`_stage_*_fwdbwd`): its matmul volume is
+    `stage_mxu_units(backward=True)` / `stage_mxu_units(backward=False)`
+    times the forward stage's (3.0x for K=1 Hutchinson: 12 vs 4 units).  The
+    VPU term is modeled at 2.5x the forward stage's (doubled elementwise +
+    doubled RK combine work for the (z, a_z) register pairs + param-grad
+    error-norm blocks) — an estimate, stated as such.  Measurement
+    methodology (slope-fit per-attempt walls) is counter-independent:
+    tools/roofline_audit.py.
+    """
+    units_fwd = stage_mxu_units(dz, H, kind, k_probes, backward=False)
+    units_adj = stage_mxu_units(dz, H, kind, k_probes, backward=True)
+    t_mxu_unit = 2.0 * B * 128.0 * 128.0 / (chip.peak_bf16_tflops * 1e12)
+    sol_fwd = mxu_issue_sol_s(B, dz, H, chip)
+    t_adj_stage = units_adj * t_mxu_unit + 2.5 * sol_fwd["t_vpu_s"]
+    t_adj_attempt = stages_per_attempt * t_adj_stage
+    return {
+        "chip": chip.name,
+        "measured_attempt_us": measured_attempt_s * 1e6,
+        "measured_per_nfe_us": measured_attempt_s / stages_per_attempt * 1e6,
+        "mxu_issue_attempt_us": t_adj_attempt * 1e6,
+        "mxu_issue_per_nfe_us": t_adj_stage * 1e6,
+        "utilization_vs_mxu_issue": (
+            t_adj_attempt / measured_attempt_s if measured_attempt_s > 0 else 0.0
+        ),
+        "matmul_units_fwd_stage": units_fwd,
+        "matmul_units_adjoint_stage": units_adj,
+        "adjoint_vs_forward_measured": (
+            measured_attempt_s / fwd_attempt_s if fwd_attempt_s > 0 else 0.0
+        ),
+        "adjoint_vs_forward_modeled": units_adj / units_fwd,
+    }
+
+
 def roofline_report(
     measured_s: float,
     B: int,
@@ -198,6 +275,8 @@ __all__ = [
     "V5E",
     "fused_dynamics_cost",
     "time_chained",
+    "stage_mxu_units",
+    "adjoint_roofline_report",
     "roofline_report",
     "trace",
 ]

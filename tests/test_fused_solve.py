@@ -321,6 +321,73 @@ def test_bf16_stage_matmuls(setup):
     assert all(bool(jnp.all(jnp.isfinite(x))) for x in jax.tree.leaves(g))
 
 
+@pytest.mark.parametrize("norm_z,norm_j", [(True, True), (False, False), (True, False)])
+@pytest.mark.parametrize("k_probes", [1, 3])
+def test_fwdbwd_matches_jax_vjp(norm_z, norm_j, k_probes):
+    """The hand-derived (transpose-free) stage VJPs used by the adjoint
+    megakernel equal jax.vjp of the forward stages, for every mode."""
+    from continuousnf_tpu.ops.fused_solve import (
+        _stage_test,
+        _stage_test_fwdbwd,
+        _stage_train,
+        _stage_train_exact,
+        _stage_train_exact_fwdbwd,
+        _stage_train_fwdbwd,
+        exact_stage_consts,
+    )
+
+    dz, H, B = 5, 11, 7
+    ks = jax.random.split(jax.random.PRNGKey(42), 10)
+    r = lambda i, shape: jax.random.normal(ks[i], shape, jnp.float32)
+    zt, epst = r(0, (dz, B)), r(1, (k_probes * dz, B))
+    w1, b1c = r(2, (dz, H)) * 0.5, r(3, (H, 1)) * 0.1
+    w2, b2c = r(4, (H, dz)) * 0.5, r(5, (dz, 1)) * 0.1
+    ct_y, ct_r3, ct_r1 = r(6, (dz, B)), r(7, (3, B)), r(8, (1, B))
+
+    def cmp(got, want, what):
+        for g, w in zip(got, want):
+            assert jnp.allclose(g, w, rtol=1e-5, atol=1e-5), what
+
+    # TRAIN (K-probe Hutchinson)
+    (kz, kr), vjp = jax.vjp(
+        lambda z_, a_, b_, c_, d_: _stage_train(
+            z_, epst, a_, b_, c_, d_, norm_z, norm_j, False, k_probes
+        ),
+        zt, w1, b1c, w2, b2c,
+    )
+    want = vjp((ct_y, ct_r3))
+    got = _stage_train_fwdbwd(
+        zt, epst, w1, b1c, w2, b2c, norm_z, norm_j, False, k_probes, ct_y, ct_r3
+    )
+    cmp(got[:2], (kz, kr), "train fwd")
+    cmp(got[2:], want, "train bwd")
+
+    # TRAIN exact
+    pm = exact_stage_consts(w1, w2)
+    (kz, kr), vjp = jax.vjp(
+        lambda z_, a_, b_, c_, d_, p_: _stage_train_exact(
+            z_, a_, b_, c_, d_, p_, norm_z, norm_j, False
+        ),
+        zt, w1, b1c, w2, b2c, pm,
+    )
+    want = vjp((ct_y, ct_r3))
+    got = _stage_train_exact_fwdbwd(
+        zt, w1, b1c, w2, b2c, pm, norm_z, norm_j, False, ct_y, ct_r3
+    )
+    cmp(got[:2], (kz, kr), "exact fwd")
+    cmp(got[2:], want, "exact bwd")
+
+    # TEST
+    (kz, kr), vjp = jax.vjp(
+        lambda z_, a_, b_, c_, d_: _stage_test(z_, a_, b_, c_, d_, False),
+        zt, w1, b1c, w2, b2c,
+    )
+    want = vjp((ct_y, ct_r1))
+    got = _stage_test_fwdbwd(zt, w1, b1c, w2, b2c, False, ct_y, ct_r1)
+    cmp(got[:2], (kz, kr), "test fwd")
+    cmp(got[2:], want, "test bwd")
+
+
 def test_jit_inside(setup):
     """The megakernel path composes with jit (the trainer always jits)."""
     _, icnf_fused, ps, xs, eps = setup

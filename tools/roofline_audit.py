@@ -61,11 +61,11 @@ def main() -> None:
     key = jax.random.PRNGKey(2)
     rtt = measure_rtt()
 
-    def mk(fused, max_steps):
+    def mk(fused, max_steps, exact=False):
         # tspan long enough that every cap binds (solver never finishes early).
         return cnf.construct(
             cnf.RNODE, nn, nvars, naug, tspan=(0.0, 13.0), steer_rate=0.0,
-            lam3=1e-2, compute_mode=cnf.VecJacMode(fused=fused),
+            lam3=1e-2, compute_mode=cnf.VecJacMode(fused=fused, exact_trace=exact),
             solver=cnf.SolverOptions(max_steps=max_steps),
         )
 
@@ -95,9 +95,9 @@ def main() -> None:
         """
         walls, nfes, steps = {}, {}, {}
         for cap in args.caps:
-            icnf = mk(kind != "xla_fwd", cap)
+            icnf = mk(kind != "xla_fwd", cap, exact="exact" in kind)
 
-            if kind == "grad":
+            if kind.startswith("grad"):
                 def step(x, i):
                     g = jax.grad(
                         lambda p: cnf.loss(icnf, Mode.TRAIN, x, p, key=key))(ps)
@@ -109,7 +109,7 @@ def main() -> None:
                     return x + 1e-7 * jnp.tanh(lp)[:, None]
 
             walls[cap] = time_scanned(step, xs, args.scan_length, rtt)
-            if kind != "grad":
+            if not kind.startswith("grad"):
                 @jax.jit
                 def stats_of(x):
                     return cnf.inference(icnf, Mode.TRAIN, x, ps, key=key)[2]
@@ -125,7 +125,7 @@ def main() -> None:
             "per_attempt_us": round(slope * 1e6, 3),
             "intercept_ms": round(intercept * 1e3, 3),
         }
-        if kind != "grad":
+        if not kind.startswith("grad"):
             res["steps_at_cap"] = steps
             res["nfe_at_cap"] = nfes
             # counter check: does reported NFE actually scale 6/attempt?
@@ -142,6 +142,36 @@ def main() -> None:
     out["adjoint_per_attempt_us"] = round(
         out["grad_fused"]["per_attempt_us"] - out["fused_fwd"]["per_attempt_us"], 3)
     out["adjoint_per_nfe_us"] = round(out["adjoint_per_attempt_us"] / 6.0, 3)
+
+    # Same sweep for the exact-divergence TRAIN config (the flagship
+    # density-gate recipe, fused since round 4).
+    out["exact_fwd"] = sweep("exact_fwd")
+    out["grad_exact"] = sweep("grad_exact")
+    out["exact_adjoint_per_attempt_us"] = round(
+        out["grad_exact"]["per_attempt_us"] - out["exact_fwd"]["per_attempt_us"], 3)
+    out["exact_adjoint_per_nfe_us"] = round(
+        out["exact_adjoint_per_attempt_us"] / 6.0, 3)
+
+    # Analytic MXU-issue ceilings for the adjoint kernels (matmul-unit
+    # model; see utils/profiling.stage_mxu_units) + utilizations.
+    from continuousnf_tpu.utils.profiling import adjoint_roofline_report
+
+    out["adjoint_roofline"] = {
+        k: (round(v, 3) if isinstance(v, float) else v)
+        for k, v in adjoint_roofline_report(
+            out["adjoint_per_attempt_us"] * 1e-6,
+            out["fused_fwd"]["per_attempt_us"] * 1e-6,
+            B, n_in, 3 * n_in, kind="train", k_probes=1,
+        ).items()
+    }
+    out["exact_adjoint_roofline"] = {
+        k: (round(v, 3) if isinstance(v, float) else v)
+        for k, v in adjoint_roofline_report(
+            out["exact_adjoint_per_attempt_us"] * 1e-6,
+            out["exact_fwd"]["per_attempt_us"] * 1e-6,
+            B, n_in, 3 * n_in, kind="exact",
+        ).items()
+    }
 
     # Measured ceiling: the bare-XLA stage chain (same stage math, no
     # controller), per stage eval.
@@ -178,9 +208,37 @@ def main() -> None:
             f"| grad step (fwd + adjoint kernel) | "
             f"{out['grad_fused']['per_attempt_us']} | — | — |\n"
             f"| adjoint kernel (grad - fwd) | {out['adjoint_per_attempt_us']} | "
-            f"{out['adjoint_per_nfe_us']} | — |\n\n"
+            f"{out['adjoint_per_nfe_us']} | — |\n"
+            f"| exact-trace fused fwd | {out['exact_fwd']['per_attempt_us']} | "
+            f"{out['exact_fwd']['per_nfe_us_slope']} | "
+            f"{out['exact_fwd']['nfe_per_attempt_reported']} |\n"
+            f"| exact grad step | {out['grad_exact']['per_attempt_us']} | — | — |\n"
+            f"| exact adjoint kernel | {out['exact_adjoint_per_attempt_us']} | "
+            f"{out['exact_adjoint_per_nfe_us']} | — |\n\n"
             f"Bare-XLA stage chain (no controller): {out['xla_stage_chain_us']} "
             "us per stage eval.\n\n"
+            "## Adjoint ceiling model (round 4)\n\n"
+            "The adjoint stage recomputes the forward dynamics and applies a\n"
+            "hand-derived transpose-free VJP (`_stage_*_fwdbwd`); its MXU-issue\n"
+            "floor is `stage_mxu_units(backward=True)` matmul units per stage\n"
+            "(12 vs the forward's 4 for K=1 Hutchinson; 16 vs 6 for exact)\n"
+            "plus a 2.5x-forward VPU estimate.  Round-4 finding: `jax.vjp`\n"
+            "inside the kernel emitted four big batch-major `transpose`\n"
+            "relayouts per stage (AD's dot transpose rule); hand-writing the\n"
+            "backward removed them — adjoint went 25.95 -> "
+            f"{out['adjoint_per_nfe_us']} us/NFE.\n\n"
+            f"| kernel | measured us/NFE | MXU-issue floor | utilization | "
+            f"adj/fwd measured | adj/fwd modeled |\n|---|---|---|---|---|---|\n"
+            f"| Hutchinson K=1 | {out['adjoint_roofline']['measured_per_nfe_us']} | "
+            f"{out['adjoint_roofline']['mxu_issue_per_nfe_us']} | "
+            f"{out['adjoint_roofline']['utilization_vs_mxu_issue']} | "
+            f"{out['adjoint_roofline']['adjoint_vs_forward_measured']} | "
+            f"{out['adjoint_roofline']['adjoint_vs_forward_modeled']} |\n"
+            f"| exact trace | {out['exact_adjoint_roofline']['measured_per_nfe_us']} | "
+            f"{out['exact_adjoint_roofline']['mxu_issue_per_nfe_us']} | "
+            f"{out['exact_adjoint_roofline']['utilization_vs_mxu_issue']} | "
+            f"{out['exact_adjoint_roofline']['adjoint_vs_forward_measured']} | "
+            f"{out['exact_adjoint_roofline']['adjoint_vs_forward_modeled']} |\n\n"
             f"Raw: `{json.dumps(out)}`\n"
         )
         with open("docs/ROOFLINE.md", "w") as f:

@@ -4,7 +4,8 @@ The reference delegates its solves to `OrdinaryDiffEqDefault.DefaultODEAlgorithm
 (`/root/reference/src/base_icnf.jl:141`), which auto-switches between Tsit5
 (loose tolerances), Vern7 (tight tolerances), and a stiff BDF/Rosenbrock pair
 when its stiffness heuristic trips.  This repo's `SolverOptions.method="auto"`
-reproduces the *non-stiff* split (tsit5 under rtol 1e-5, dop853 at/below —
+reproduces the *non-stiff* split (tsit5 at working tolerances, the 6th-order
+Verner 1978 pair in Vern7's tight-tolerance role, dop853 below rtol 1e-7 —
 `ode/tableaus.py:select_method`) and claims CNF fields don't need the stiff
 branch.  This script turns that claim into measurements on the flagship 8-D
 dynamics (`/root/reference/test/regression_tests.jl:2-28`):
@@ -83,7 +84,7 @@ def main() -> None:
         "odq_default(1e-3,1e-6)": (1.0e-3, 1.0e-6),
         "readme(3.45e-4,1.19e-7)": (3.452669831108329e-4, 1.1920929e-7),
     }
-    METHODS = ["tsit5", "dopri5", "dop853", "auto"]
+    METHODS = ["tsit5", "dopri5", "verner65", "dop853", "auto"]
 
     rows = []
     stiff_rows = []
@@ -169,7 +170,8 @@ def main() -> None:
         "Reference behavior: `solve` with no algorithm picks",
         "`OrdinaryDiffEqDefault.DefaultODEAlgorithm` (Tsit5 at loose rtol, Vern7",
         "at tight rtol, stiff fallback on heuristic) —",
-        "`/root/reference/src/base_icnf.jl:141`.  This repo: tsit5 / dop853 +",
+        "`/root/reference/src/base_icnf.jl:141`.  This repo: tsit5 / verner65",
+        "(the Verner 1978 6(5) pair, Vern7's efficiency role) / dop853 +",
         "rtol-split `auto` (`ode/tableaus.py:select_method`).",
         "",
         "| params | tolerances | method | NFE | acc/rej | max err vs GT | mean err |",
