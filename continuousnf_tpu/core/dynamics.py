@@ -288,10 +288,9 @@ def make_augmented_dynamics(
 
                 dz, tr = exact_tanh_mlp_trace(args["ps"], state.z)
             elif chain_form and args.get("ys") is None:
-                from ..ops.fused_dynamics import exact_dense_chain_jacobian
+                from ..ops.fused_dynamics import exact_dense_chain_trace
 
-                dz, jac = exact_dense_chain_jacobian(nn, args["ps"], state.z)
-                tr = jnp.trace(jac, axis1=-2, axis2=-1)
+                dz, tr = exact_dense_chain_trace(nn, args["ps"], state.z)
             elif planar_form:
                 dz, tr = _planar_exact(nn, args["ps"], state.z, args.get("ys"))
             else:

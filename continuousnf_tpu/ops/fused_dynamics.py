@@ -214,6 +214,50 @@ def exact_dense_chain_jacobian(nn, params, z: jax.Array):
     return h, J
 
 
+def exact_dense_chain_trace(nn, params, z: jax.Array):
+    """Closed-form (y, tr(J)) of an N-layer Dense chain WITHOUT materializing
+    the final (B, d, d) Jacobian.
+
+    Same chain product as `exact_dense_chain_jacobian` through layer N-1
+    (C = (B, d, H_{N-1})), but the last factor W_N diag(act'_N) enters only
+    through the trace contraction  tr = sum_{i,h} C[b,i,h] W_N[h,i] d_N[b,i]
+    — an O(B d H) elementwise-reduce instead of the O(B d^2 H) closing
+    matmul, the single most expensive factor at tabular dims (d=43, H=128:
+    ~1 GFLOP/stage saved).  TEST-mode densities use this; exact-divergence
+    TRAIN still needs the full J for the Frobenius rate.
+    """
+    B = z.shape[0]
+    n = len(nn.layers)
+    h = z
+    C = None
+    tr = None
+    for idx, (layer, p) in enumerate(zip(nn.layers, params)):
+        a = h @ p["w"]
+        if layer.use_bias:
+            a = a + p["b"]
+        if layer.activation is jnp.tanh:
+            h = jnp.tanh(a)
+            d = 1.0 - h * h
+        else:
+            h = a
+            d = None
+        if idx == n - 1:
+            if C is None:
+                diag = jnp.diagonal(p["w"])
+                tr = jnp.sum(diag * d, axis=-1) if d is not None else jnp.sum(diag) * jnp.ones((B,), z.dtype)
+            else:
+                t = jnp.einsum("bih,hi->bi", C, p["w"])
+                tr = jnp.sum(t * d, axis=-1) if d is not None else jnp.sum(t, axis=-1)
+        else:
+            if C is None:
+                C = jnp.broadcast_to(p["w"], (B, *p["w"].shape))
+            else:
+                C = jnp.einsum("bij,jk->bik", C, p["w"])
+            if d is not None:
+                C = C * d[:, None, :]
+    return h, tr
+
+
 def supports_fusion(nn) -> bool:
     """True when `nn` is a 2-layer tanh-MLP Chain the kernel covers."""
     from ..nets.modules import Chain, Dense

@@ -87,3 +87,23 @@ def test_three_layer_train_exact_trace_matches_generic():
     icnf_g = dc.replace(icnf, nn=Opaque())
     l_gen = loss(icnf_g, Mode.TRAIN, xs, ps, key=key)
     np.testing.assert_allclose(float(l_closed), float(l_gen), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "dims,final_act",
+    [((5, 16, 16, 5), jnp.tanh), ((4, 8, 12, 8, 4), jnp.tanh), ((6, 32, 6), None), ((3, 3), jnp.tanh)],
+)
+def test_chain_trace_matches_jacobian(dims, final_act):
+    """Trace-only chain path (TEST-mode fast path) == trace of the full J."""
+    from continuousnf_tpu.ops.fused_dynamics import exact_dense_chain_trace
+
+    nn = MLP(dims, final_activation=final_act)
+    ps = nn.init(jax.random.PRNGKey(0))
+    z = jax.random.normal(jax.random.PRNGKey(1), (7, dims[0]))
+    y_t, tr_t = exact_dense_chain_trace(nn, ps, z)
+    y_j, jac = exact_dense_chain_jacobian(nn, ps, z)
+    np.testing.assert_allclose(np.asarray(y_t), np.asarray(y_j), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(tr_t), np.asarray(jnp.trace(jac, axis1=-2, axis2=-1)),
+        rtol=2e-5, atol=1e-6,
+    )
