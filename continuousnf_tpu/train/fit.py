@@ -163,6 +163,7 @@ def fit(
     epoch_start: int = 0,
     verbosity: int = 0,
     mesh=None,
+    distributed: bool = False,
     callback=None,
     callback_every: int = 0,
     state_callback=None,
@@ -173,6 +174,15 @@ def fit(
     Mirrors the reference fit flow (`core_icnf.jl:30-92`): init params, build
     shuffled loader, run each optimizer for n_epochs, log wall time.  `ps`
     warm-starts from existing parameters (checkpoint resume).
+
+    Multi-host: with `distributed=True` (requires `mesh` spanning all
+    processes' devices), `X`/`Y` are each process's LOCAL shard of the data;
+    the shards are assembled into one globally-sharded array
+    (`parallel.distributed.global_batch_from_host_shards`) and every process
+    runs the identical SPMD fit program — per-epoch permutations and probe
+    draws derive from the shared `key`, so the result is bit-identical to a
+    single-process fit of the concatenated data on an equal mesh
+    (tests/test_multihost.py::test_two_process_fit_matches_single_process).
 
     `callback(epoch, ps) -> bool` runs every `callback_every` epochs (when
     both are set); returning True stops training early — used e.g. by the
@@ -205,11 +215,32 @@ def fit(
         ys, cond_names = table_to_matrix(Y, icnf.dtype)
     else:
         ys = jnp.zeros((xs.shape[0], 0), icnf.dtype)
+
+    if distributed:
+        if mesh is None:
+            raise ValueError("distributed=True requires a mesh spanning all processes")
+        from ..parallel.distributed import global_batch_from_host_shards
+
+        xs = global_batch_from_host_shards(mesh, np.asarray(xs))
+        if has_cond:
+            ys = global_batch_from_host_shards(mesh, np.asarray(ys))
+        else:
+            # zero-width conditioning block stays host-replicated numpy (jit
+            # treats consistent host arrays as replicated in multi-process).
+            ys = np.zeros((xs.shape[0], 0), np.dtype(icnf.dtype))
     n = xs.shape[0]
 
     init_key, train_key = jax.random.split(key)
     if ps is None:
         ps = init_params(icnf, init_key)
+    if distributed:
+        # Params/keys become global replicated arrays: committed
+        # single-device arrays cannot feed a multi-host jit.
+        from ..parallel.mesh import replicated
+        from ..parallel.sharding import shard_params
+
+        ps = shard_params(mesh, ps)
+        train_key = jax.device_put(train_key, replicated(mesh))
     if (opt_state is not None or epoch_start) and len(model.optimizers) != 1:
         raise ValueError("opt_state/epoch_start resume requires a single optimizer")
 
@@ -254,7 +285,7 @@ def fit(
                 fns[cs] = _make_epochs_fn(model, n, has_cond, opt, mesh, epochs_per_call=cs)
             t_call = time.perf_counter()
             ps, opt_state, ms = fns[cs](
-                ps, opt_state, xs, ys, train_key, jnp.asarray(epoch_i, jnp.int32)
+                ps, opt_state, xs, ys, train_key, np.int32(epoch_i)
             )
             # One scalar readback per chunk: closes the async-dispatch region
             # so chunk_wall is real work time (block_until_ready is unreliable
