@@ -372,6 +372,7 @@ def test_exact_trace_closed_form_matches_generic():
     np.testing.assert_allclose(np.asarray(fro_c), np.asarray(fro_g), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_exact_trace_gradients_flow():
     nn = cnf.MLP((4, 12, 4))
     icnf = cnf.construct(

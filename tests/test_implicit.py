@@ -67,6 +67,7 @@ def test_trbdf2_beats_explicit_on_stiff_problem():
     )
 
 
+@pytest.mark.slow
 def test_trbdf2_gradient_direct_matches_fd():
     def f(t, y, args):
         return -(y ** 3) + jnp.sin(t) * args
@@ -93,6 +94,7 @@ def test_trbdf2_gradient_direct_matches_fd():
     np.testing.assert_allclose(float(g_a), float(fd_a), rtol=2e-2, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_trbdf2_backsolve_gradient_finite():
     opts = SolverOptions(method="trbdf2", adjoint=Adjoint.BACKSOLVE, rtol=1e-4, atol=1e-7)
 

@@ -79,7 +79,8 @@ def build(config: str, seed: int, epochs: int, lr: float, batch_size: int,
           clip: float = 0.0, train_rtol: float = 0.0, method: str = "",
           direct_max_steps: int = 0, lam12: float = -1.0,
           steer_rate: float = 0.1, x_jitter: float = 0.0,
-          init_seed: int = -1, lam3: float = 1e-2, logit: bool = False):
+          init_seed: int = -1, lam3: float = 1e-2, logit: bool = False,
+          fused: bool = None):
     import dataclasses as dc
 
     from continuousnf_tpu.types import Adjoint
@@ -119,7 +120,13 @@ def build(config: str, seed: int, epochs: int, lr: float, batch_size: int,
         tspan=(0.0, 13.0), steer_rate=steer_rate, lam3=lam3, solver=solver,
         aug_noise=aug_noise, x_jitter=x_jitter,
         input_bijector="logit" if logit else None,
-        compute_mode=VecJacMode(num_probes=probes, exact_trace=exact_trace),
+        # Megakernels on by default on the real chip (round 4: the exact-
+        # divergence TRAIN stage is fused too, so the gate-winning recipe
+        # runs on the kernels it benchmarks; REGRESSION.md wall-time rows).
+        compute_mode=VecJacMode(
+            num_probes=probes, exact_trace=exact_trace,
+            fused=(jax.default_backend() == "tpu") if fused is None else fused,
+        ),
         **lam_kw,
     )
     # Optimisers.jl's Lion rule is decay-free (decay is composed separately

@@ -52,7 +52,7 @@ CACHE = "experiments/gate_results.json"
 #: tools/literal_gates.py --config flagship).  The gate is FAIL-CLOSED: a
 #: missing log, a missing SUMMARY line, or an incomplete (crashed) run all
 #: fail the gate explicitly rather than silently skipping it.
-FLAGSHIP_RUN = "flagship_r3_gated"
+FLAGSHIP_RUN = "flagship_r4_gated"
 
 
 def main():
@@ -214,6 +214,20 @@ def main():
             f"msd={f.get('msd', float('nan')):.3g} tv={f.get('tv', float('nan')):.3g}",
             "",
         ]
+    # Round-4 kernel-path evidence: the SAME gated recipe ran unfused in
+    # round 3 (exact-trace was megakernel-ineligible then); comparing its
+    # wall against this round's fused run is the end-to-end speedup of
+    # fusing the exact-divergence TRAIN stage + adjoint.
+    r3 = _summaries().get("flagship_r3_gated")
+    if flag is not None and r3 is not None and "wall_s" in flag and "wall_s" in r3:
+        lines += [
+            f"Kernel path: round 3 ran this recipe on the unfused XLA path "
+            f"({r3['wall_s']:.0f}s); round 4 runs it through the fused "
+            f"solve-in-kernel megakernels (exact-divergence TRAIN stage + "
+            f"adjoint, ops/fused_solve.py) in {flag['wall_s']:.0f}s — "
+            f"{r3['wall_s']/max(flag['wall_s'],1e-9):.2f}x end-to-end.",
+            "",
+        ]
     ok = ok and (passes_norm or args.fast)
     print(lines[-2], flush=True)
 
@@ -245,7 +259,7 @@ def main():
         ("flagship 8-D calibrated, cosine Lion 1e-3, 1200 ep (round-2 "
          "attempt; crashed at epoch 287 — no SUMMARY)",
          "flagship_cal_cos1e3_1200"),
-        ("flagship 8-D gated run (round 3, gated above)", FLAGSHIP_RUN),
+        ("flagship 8-D gated run (round 4, gated above)", FLAGSHIP_RUN),
     ]
     for label, k in evidence:
         if k in sums:
@@ -317,8 +331,8 @@ def main():
         "|---|---|---|---|",
     ]
     for label, k in [
-        ("1", FLAGSHIP_RUN), ("2", "flagship_r3_gated_s2"),
-        ("3", "flagship_r3_gated_s3"),
+        ("1", FLAGSHIP_RUN), ("2", "flagship_r4_gated_s2"),
+        ("3", "flagship_r4_gated_s3"),
     ]:
         if k in sums:
             s = sums[k]
