@@ -53,9 +53,18 @@ def make_train_step_body(icnf: ICNF, optimizer, mesh=None) -> Callable:
 
     def step(ps, opt_state, xs, key, weights=None, ys=None):
         eps_key, loss_key = jax.random.split(key)
-        eps = icnf.draw_eps(eps_key, xs.shape[0])
+        # exact_trace fields read no probes — drawing (and passing) them
+        # would both waste RNG/compute and trip inference()'s eps-vs-exact
+        # validation (round-4 regression: the flagship gate recipe fits with
+        # exact_trace=True).
+        eps = (
+            None
+            if icnf.compute_mode.exact_trace
+            else icnf.draw_eps(eps_key, xs.shape[0])
+        )
         if mesh is not None:
-            eps = jax.lax.with_sharding_constraint(eps, p_shard)
+            if eps is not None:
+                eps = jax.lax.with_sharding_constraint(eps, p_shard)
             xs = jax.lax.with_sharding_constraint(xs, d_shard)
             if ys is not None:
                 ys = jax.lax.with_sharding_constraint(ys, d_shard)

@@ -143,3 +143,23 @@ def test_exact_resume_from_state_checkpoint(tmp_path):
     assert resumed.epochs == 8
     for a, b in zip(jax.tree.leaves(full.ps), jax.tree.leaves(resumed.ps)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fit_exact_trace_model():
+    """fit() with an exact-divergence model (the flagship gate recipe's
+    compute mode) must not draw/pass Hutchinson probes — round-4 regression:
+    inference() now rejects eps under exact_trace, and the shared step body
+    used to pass probes unconditionally."""
+    import optax
+
+    nn = cnf.MLP((2, 6, 2))
+    icnf = cnf.construct(
+        cnf.RNODE, nn, 1, 1,
+        compute_mode=cnf.VecJacMode(exact_trace=True),
+        solver=cnf.SolverOptions(rtol=1e-2, atol=1e-4, max_steps=200),
+    )
+    model = cnf.ICNFModel(icnf, optimizers=(optax.lion(1e-3),), n_epochs=2, batch_size=8)
+    r = jax.random.uniform(jax.random.PRNGKey(0), (16, 1))
+    res = cnf.fit(model, r, key=jax.random.PRNGKey(1))
+    assert res.epochs == 2
+    assert np.all(np.isfinite(res.losses))
