@@ -86,3 +86,31 @@ def test_generate_parity():
     # B=1 (vector-mode parity) through the fused path.
     one = cnf.generate(fused, Mode.TEST, ps, key=key)
     assert one.shape == (8,)
+
+
+def test_exact_trace_parity_on_chip():
+    """Round-4: the exact-divergence TRAIN path (the density-gate recipe)
+    through the fused forward + adjoint megakernels vs the XLA path, on the
+    real chip."""
+    nvars, naug = 8, 8
+    nn = cnf.MLP((16, 48, 16))
+    mk = lambda fused: cnf.construct(
+        cnf.RNODE, nn, nvars, naug, tspan=(0.0, 13.0), lam3=1e-2,
+        compute_mode=cnf.VecJacMode(fused=fused, exact_trace=True),
+        solver=_SOLVER,
+    )
+    fused, plain = mk(True), mk(False)
+    ps = fused.init(jax.random.PRNGKey(0))
+    xs = jax.random.uniform(jax.random.PRNGKey(1), (256, nvars))
+    key = jax.random.PRNGKey(3)
+
+    lp_f, regs_f, st_f = cnf.inference(fused, Mode.TRAIN, xs, ps, key=key)
+    lp_p, regs_p, st_p = cnf.inference(plain, Mode.TRAIN, xs, ps, key=key)
+    assert _rel(lp_f, lp_p) < 2e-3, _rel(lp_f, lp_p)
+    assert _rel(regs_f.n, regs_p.n) < 2e-3, _rel(regs_f.n, regs_p.n)
+    assert abs(int(st_f.steps) - int(st_p.steps)) <= max(5, int(st_p.steps) // 20)
+
+    g_f = jax.grad(lambda p: cnf.loss(fused, Mode.TRAIN, xs, p, key=key))(ps)
+    g_p = jax.grad(lambda p: cnf.loss(plain, Mode.TRAIN, xs, p, key=key))(ps)
+    for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_p)):
+        assert _rel(a, b) < 5e-2, _rel(a, b)
