@@ -1149,6 +1149,9 @@ def make_full_solve(
     # runs its own while loop on the (sequential) kernel grid.
     adjoint_tile = None
     for cand in (B, *(1 << k for k in range(14, 5, -1))):
+        # Half the budget per tile: measured on-chip (round 4) that a
+        # single 40 MB exact-adjoint tile at B=4096 compiles but is NOT
+        # faster than two 20 MB tiles — VMEM headroom wins the tie.
         if cand <= B and B % cand == 0 and _adjoint_tile_bytes(cand) <= _VMEM_BUDGET_BYTES // 2:
             adjoint_tile = cand
             break
