@@ -2,7 +2,8 @@
 item 8: kernel numerics must be test-asserted on the real chip, not
 bench-only).
 
-Run with:  CNF_TPU_TESTS=1 python -m pytest tests/test_tpu_parity.py -m tpu -q
+Run with:  CNF_TPU_TESTS=1 python -m pytest tests/test_tpu_parity.py -m tpu -q -n 0
+(-n 0 disables the default 2-worker xdist: two processes must not share the chip)
 Skipped automatically when the TPU backend is absent (CI/CPU runs).
 """
 
