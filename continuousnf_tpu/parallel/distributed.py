@@ -52,4 +52,28 @@ def global_batch_from_host_shards(mesh, host_batch: np.ndarray) -> jax.Array:
     return jax.make_array_from_process_local_data(data_sharding(mesh), host_batch)
 
 
-__all__ = ["initialize_distributed", "global_batch_from_host_shards"]
+def host_batch_slice(mesh, global_batch_size: int) -> slice:
+    """The batch-dim slice this process must pass to
+    `global_batch_from_host_shards` for the given mesh.
+
+    For a pure data mesh every process holds a distinct contiguous chunk;
+    for meshes whose data axis does NOT span all processes (e.g. the probe
+    axis crossing hosts), processes in the same data-group must pass
+    IDENTICAL rows — `jax.make_array_from_process_local_data` treats the
+    local value as the process's addressable portion of the global array.
+    """
+    from .mesh import data_sharding
+
+    sh = data_sharding(mesh)
+    idx_map = sh.addressable_devices_indices_map((global_batch_size,))
+    starts = {(ix[0].start or 0, ix[0].stop) for ix in idx_map.values()}
+    if len(starts) != 1:
+        raise ValueError(
+            "this process's devices hold different data shards; feed per-"
+            "device (jax.make_array_from_callback) instead of per-host"
+        )
+    start, stop = next(iter(starts))
+    return slice(start, stop)
+
+
+__all__ = ["initialize_distributed", "global_batch_from_host_shards", "host_batch_slice"]

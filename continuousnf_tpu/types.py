@@ -163,6 +163,13 @@ class SolverOptions:
     # every iteration costs one step's compute even after convergence, so keep
     # it modest.
     direct_max_steps: int = 512
+    # Fixed save grid for trajectory extraction (`inference(...,
+    # trajectory=True)` / `ode.solve.odeint_saveat`) — a tuple of times
+    # spanning [tspan[0], tspan[1]].  None -> an evenly spaced default grid
+    # when a trajectory is requested; ignored by plain (final-state-only)
+    # solves, which remain the hot path.  Analog of the reference's
+    # `saveat` sol_kwarg (`/root/reference/src/base_icnf.jl:141`).
+    saveat: Optional[Tuple[float, ...]] = None
     # Matmul precision the vector field is traced at inside the solver
     # ("highest" | "float32" | "default").  On TPU, "default" feeds f32
     # operands through the MXU's single-pass bf16 mode (~1e-3 relative

@@ -50,3 +50,13 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "tpu: requires the real TPU backend (run with CNF_TPU_TESTS=1)"
     )
+    # TPU-marked runs must not fan out xdist workers: two processes sharing
+    # the one real chip deadlock/flake.  Fail fast instead of relying on the
+    # user remembering `-n 0` (the pyproject addopts default is `-n 2`).
+    if os.environ.get("CNF_TPU_TESTS") == "1":
+        n = getattr(config.option, "numprocesses", None)
+        if n not in (None, 0):
+            raise pytest.UsageError(
+                "CNF_TPU_TESTS=1 requires a single process: pass -n 0 "
+                "(xdist workers would share the one TPU chip)"
+            )

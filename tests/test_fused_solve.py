@@ -323,10 +323,18 @@ def test_bf16_stage_matmuls(setup):
 
 @pytest.mark.parametrize("norm_z,norm_j", [(True, True), (False, False), (True, False)])
 @pytest.mark.parametrize("k_probes", [1, 3])
-def test_fwdbwd_matches_jax_vjp(norm_z, norm_j, k_probes):
+@pytest.mark.parametrize("widths,n_cond", [
+    ((5, 11, 5), 0),        # 2-layer (the reference's standard net shape)
+    ((5, 11, 5), 2),        # 2-layer conditional
+    ((5, 9, 7, 5), 0),      # 3-layer chain
+    ((5, 9, 7, 5), 3),      # 3-layer conditional
+])
+def test_fwdbwd_matches_jax_vjp(norm_z, norm_j, k_probes, widths, n_cond):
     """The hand-derived (transpose-free) stage VJPs used by the adjoint
-    megakernel equal jax.vjp of the forward stages, for every mode."""
+    megakernel equal jax.vjp of the forward stages, for every mode, chain
+    depth, and conditioning."""
     from continuousnf_tpu.ops.fused_solve import (
+        ChainSpec,
         _stage_test,
         _stage_test_fwdbwd,
         _stage_train,
@@ -336,56 +344,101 @@ def test_fwdbwd_matches_jax_vjp(norm_z, norm_j, k_probes):
         exact_stage_consts,
     )
 
-    dz, H, B = 5, 11, 7
-    ks = jax.random.split(jax.random.PRNGKey(42), 10)
+    dz, B = widths[-1], 7
+    in_dims = (widths[0] + n_cond,) + widths[1:-1]
+    out_dims = widths[1:]
+    spec = ChainSpec(in_dims, out_dims, (True,) * len(out_dims), n_cond)
+    N = spec.n_layers
+
+    ks = jax.random.split(jax.random.PRNGKey(42), 6 + 2 * N)
     r = lambda i, shape: jax.random.normal(ks[i], shape, jnp.float32)
-    zt, epst = r(0, (dz, B)), r(1, (k_probes * dz, B))
-    w1, b1c = r(2, (dz, H)) * 0.5, r(3, (H, 1)) * 0.1
-    w2, b2c = r(4, (H, dz)) * 0.5, r(5, (dz, 1)) * 0.1
-    ct_y, ct_r3, ct_r1 = r(6, (dz, B)), r(7, (3, B)), r(8, (1, B))
+    zin = r(0, (spec.zin_dim, B))
+    epst = r(1, (k_probes * dz, B))
+    ws = [r(2 + 2 * i, (in_dims[i], out_dims[i])) * 0.5 for i in range(N)]
+    bs = [r(3 + 2 * i, (out_dims[i], 1)) * 0.1 for i in range(N)]
+    ct_y = r(2 + 2 * N, (dz, B))
+    ct_r3 = r(3 + 2 * N, (3, B))
+    ct_r1 = r(4 + 2 * N, (1, B))
+
+    def split(zin_):
+        if n_cond:
+            return zin_[:dz], zin_[dz:]
+        return zin_, None
 
     def cmp(got, want, what):
-        for g, w in zip(got, want):
+        flat_g = jax.tree.leaves(got)
+        flat_w = jax.tree.leaves(want)
+        assert len(flat_g) == len(flat_w), what
+        for g, w in zip(flat_g, flat_w):
             assert jnp.allclose(g, w, rtol=1e-5, atol=1e-5), what
 
-    # TRAIN (K-probe Hutchinson)
-    (kz, kr), vjp = jax.vjp(
-        lambda z_, a_, b_, c_, d_: _stage_train(
-            z_, epst, a_, b_, c_, d_, norm_z, norm_j, False, k_probes
-        ),
-        zt, w1, b1c, w2, b2c,
-    )
+    # TRAIN (K-probe Hutchinson) — all depths
+    def f_train(zin_, ws_, bs_):
+        zt_, ysb_ = split(zin_)
+        return _stage_train(
+            spec, zt_, ysb_, epst, ws_, bs_, norm_z, norm_j, False, k_probes
+        )
+
+    (kz, kr), vjp = jax.vjp(f_train, zin, ws, bs)
     want = vjp((ct_y, ct_r3))
+    zt, ysb = split(zin)
     got = _stage_train_fwdbwd(
-        zt, epst, w1, b1c, w2, b2c, norm_z, norm_j, False, k_probes, ct_y, ct_r3
+        spec, zt, ysb, epst, ws, bs, norm_z, norm_j, False, k_probes, ct_y, ct_r3
     )
     cmp(got[:2], (kz, kr), "train fwd")
     cmp(got[2:], want, "train bwd")
 
-    # TRAIN exact
-    pm = exact_stage_consts(w1, w2)
-    (kz, kr), vjp = jax.vjp(
-        lambda z_, a_, b_, c_, d_, p_: _stage_train_exact(
-            z_, a_, b_, c_, d_, p_, norm_z, norm_j, False
-        ),
-        zt, w1, b1c, w2, b2c, pm,
-    )
-    want = vjp((ct_y, ct_r3))
-    got = _stage_train_exact_fwdbwd(
-        zt, w1, b1c, w2, b2c, pm, norm_z, norm_j, False, ct_y, ct_r3
-    )
-    cmp(got[:2], (kz, kr), "exact fwd")
-    cmp(got[2:], want, "exact bwd")
+    if N == 2:
+        # TRAIN exact (2-layer pm formulation)
+        w1z = ws[0][:dz] if n_cond else ws[0]
+        pmd, pmJI = exact_stage_consts(w1z, ws[1])
 
-    # TEST
-    (kz, kr), vjp = jax.vjp(
-        lambda z_, a_, b_, c_, d_: _stage_test(z_, a_, b_, c_, d_, False),
-        zt, w1, b1c, w2, b2c,
-    )
-    want = vjp((ct_y, ct_r1))
-    got = _stage_test_fwdbwd(zt, w1, b1c, w2, b2c, False, ct_y, ct_r1)
-    cmp(got[:2], (kz, kr), "test fwd")
-    cmp(got[2:], want, "test bwd")
+        def f_exact(zin_, ws_, bs_, pmd_, pmJI_):
+            zt_, ysb_ = split(zin_)
+            return _stage_train_exact(
+                spec, zt_, ysb_, ws_, bs_, pmd_, pmJI_, norm_z, norm_j, False
+            )
+
+        (kz, kr), vjp = jax.vjp(f_exact, zin, ws, bs, pmd, pmJI)
+        want = vjp((ct_y, ct_r3))
+        got = _stage_train_exact_fwdbwd(
+            spec, zt, ysb, ws, bs, pmd, pmJI, norm_z, norm_j, False, ct_y, ct_r3
+        )
+        cmp(got[:2], (kz, kr), "exact fwd")
+        cmp(got[2:], want, "exact bwd")
+
+        # TEST (2-layer closed form)
+        def f_test(zin_, ws_, bs_):
+            zt_, ysb_ = split(zin_)
+            return _stage_test(spec, zt_, ysb_, ws_, bs_, False)
+
+        (kz, kr), vjp = jax.vjp(f_test, zin, ws, bs)
+        want = vjp((ct_y, ct_r1))
+        got = _stage_test_fwdbwd(spec, zt, ysb, ws, bs, False, ct_y, ct_r1)
+        cmp(got[:2], (kz, kr), "test fwd")
+        cmp(got[2:], want, "test bwd")
+
+
+def test_exact_chain_stage_matches_reference():
+    """The N-layer basis-propagation exact stage equals the batched chain
+    product (`exact_dense_chain_jacobian`) it mirrors in (rows, B) layout."""
+    from continuousnf_tpu.ops.fused_dynamics import exact_dense_chain_jacobian
+    from continuousnf_tpu.ops.fused_solve import ChainSpec, _stage_exact_chain
+
+    nn = cnf.MLP((4, 9, 7, 4))
+    ps = nn.init(jax.random.PRNGKey(0))
+    z = jax.random.normal(jax.random.PRNGKey(1), (6, 4), jnp.float32)
+    y_ref, J = exact_dense_chain_jacobian(nn, ps, z)
+    tr_ref = jnp.trace(J, axis1=-2, axis2=-1)
+    fro_ref = jnp.sqrt(jnp.sum(J * J, axis=(1, 2)))
+
+    spec = ChainSpec((4, 9, 7), (9, 7, 4), (True, True, True), 0)
+    ws = [p["w"] for p in ps]
+    bs = [p["b"].reshape(-1, 1) for p in ps]
+    y, tr, fro = _stage_exact_chain(spec, z.T, None, ws, bs, False, want_fro=True)
+    assert jnp.allclose(y.T, y_ref, rtol=1e-5, atol=1e-6)
+    assert jnp.allclose(tr[0], tr_ref, rtol=1e-5, atol=1e-5)
+    assert jnp.allclose(fro[0], fro_ref, rtol=1e-5, atol=1e-5)
 
 
 def test_jit_inside(setup):

@@ -80,7 +80,7 @@ def build(config: str, seed: int, epochs: int, lr: float, batch_size: int,
           direct_max_steps: int = 0, lam12: float = -1.0,
           steer_rate: float = 0.1, x_jitter: float = 0.0,
           init_seed: int = -1, lam3: float = 1e-2, logit: bool = False,
-          fused: bool = None):
+          fused: "bool | None" = None):
     import dataclasses as dc
 
     from continuousnf_tpu.types import Adjoint
