@@ -58,16 +58,16 @@ def stage_chain_time(
     readback RTT subtracted, min over `reps` — see bench.py's methodology
     note on remote-attached runtimes.
     """
-    from continuousnf_tpu.ops.fused_solve import _stage_train
+    from continuousnf_tpu.ops.fused_solve import ChainSpec, _stage_train
 
-    w1, b1 = ps[0]["w"], ps[0]["b"]
-    w2, b2 = ps[1]["w"], ps[1]["b"]
-    b1c, b2c = b1.reshape(-1, 1), b2.reshape(-1, 1)
+    spec = ChainSpec((dz, H), (H, dz), (True, True), 0)
+    ws = [ps[0]["w"], ps[1]["w"]]
+    bs = [ps[0]["b"].reshape(-1, 1), ps[1]["b"].reshape(-1, 1)]
 
     @jax.jit
     def chain(zt, epst):
         def body(z, _):
-            y, rates = _stage_train(z, epst, w1, b1c, w2, b2c, True, True, bf16, 1)
+            y, rates = _stage_train(spec, z, None, epst, ws, bs, True, True, bf16, 1)
             # data dependence: feed the field value back in (plus rate leak
             # so nothing is dead code)
             return y + 1e-6 * rates[:1], None

@@ -425,6 +425,29 @@ def odeint_with_stats(
     t1 = jnp.asarray(t1, y0f.dtype)
     func_flat = _make_func_flat(func, unravel, opts)
 
+    if getattr(opts, "tstops", None):
+        # Forced stepping points: chain segment solves split at the tstops.
+        # t0/t1 may be traced (steering), so no dynamic sort/filter happens
+        # here — the caller provides interior points ordered in integration
+        # direction and strictly inside the span (reference `tstops`
+        # semantics; a steered endpoint landing short of the last tstop just
+        # makes the final segment integrate the short way back, which is
+        # well-defined for an ODE).
+        grid = [t0] + [jnp.asarray(t, y0f.dtype) for t in opts.tstops] + [t1]
+        seg_opts = dataclasses.replace(opts, tstops=None)
+        yT = y0
+        stats = None
+        for i in range(len(grid) - 1):
+            yT, st = odeint_with_stats(
+                func, yT, grid[i], grid[i + 1], args, seg_opts, full_solve=full_solve
+            )
+            stats = st if stats is None else SolveStats(
+                steps=stats.steps + st.steps,
+                accepted=stats.accepted + st.accepted,
+                nfe=stats.nfe + st.nfe,
+            )
+        return yT, stats
+
     if opts.adjoint == Adjoint.BACKSOLVE and opts.fixed_num_steps is None:
         from .adjoint import odeint_backsolve_flat
 

@@ -161,17 +161,21 @@ def _safe_col_norm(v: jax.Array) -> jax.Array:
     return jnp.where(pos, jnp.sqrt(jnp.where(pos, sq, 1.0)), 0.0)
 
 
+# f32 stage-matmul precision.  The MXU's DEFAULT single-pass bf16 rounding
+# (~1e-3 relative) sits exactly at the solver's rtol=1e-3 error target, so
+# the embedded error estimate measures matmul noise instead of truncation
+# error and the controller grinds at a tiny-dt noise floor (10-100x the
+# mathematically needed step count — see docs/ROOFLINE.md).  HIGH (3-pass
+# bf16_3x, ~2^-21 relative — six orders below rtol) restores honest error
+# estimates at half the MXU passes of HIGHEST (6-pass bf16_6x); round-5
+# on-chip measurement: identical controller decisions, same parity margins.
+_F32_PRECISION = jax.lax.Precision.HIGHEST
+
+
 def _mm(a, b, dims, bf16: bool):
     """Stage matmul: optionally bf16 inputs (the MXU's native width — f32
-    matmuls are emulated in multiple bf16 passes) with f32 accumulation.
-
-    The f32 path pins Precision.HIGHEST: the MXU's default single-pass bf16
-    rounding (~1e-3 relative) sits exactly at the solver's rtol=1e-3 error
-    target, so the embedded error estimate measures matmul noise instead of
-    truncation error and the controller grinds at a tiny-dt noise floor
-    (10-100x the mathematically needed step count — see docs/ROOFLINE.md).
-    Honest f32 stages cost ~3x per matmul and repay it tenfold in steps.
-    """
+    matmuls are emulated in multiple bf16 passes) with f32 accumulation;
+    see `_F32_PRECISION` for the f32 path's precision choice."""
     if bf16:
         a = a.astype(jnp.bfloat16)
         b = b.astype(jnp.bfloat16)
@@ -179,7 +183,7 @@ def _mm(a, b, dims, bf16: bool):
             a, b, (dims, ((), ())), preferred_element_type=jnp.float32)
     return jax.lax.dot_general(
         a, b, (dims, ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_F32_PRECISION,
         preferred_element_type=jnp.float32,
     )
 
@@ -217,10 +221,15 @@ def _mm_cb(a, b, bf16):
 
 
 def _rowsum(x):
-    """Per-row sum over the batch axis as a ones-row contraction (goes
-    through `_mm_cb` for the same sub-8-row reasons)."""
-    ones = jnp.ones((1, x.shape[1]), x.dtype)
-    return _mm_cb(x, ones, False)
+    """Per-row sum over the batch axis (bias gradients).
+
+    Plain `jnp.sum` — measured ~1 us/stage cheaper than a ones-row
+    HIGHEST-precision contraction (round-5 audit); the Mosaic
+    "only constant accumulators" failure that prompted experimenting here
+    was traced to the sub-8-row batch-contraction dots (`_mm_cb`), not to
+    the lane reduction itself.
+    """
+    return jnp.sum(x, axis=1, keepdims=True)
 
 
 def _ct_safe_norm(ct, norm):
@@ -458,68 +467,64 @@ def _stage_test_fwdbwd(spec, zt, ysb, ws, bs, bf16, ct_y, ct_r):
 
 
 def exact_stage_consts(w1z, w2):
-    """(pmd, pmJI) for the 2-layer exact stage — traced functions of the
-    params, precomputed once per solve (params are constant across stages).
+    """pmJI for the 2-layer exact stage — a traced function of the params,
+    precomputed once per solve (params are constant across stages).
 
-    pmd[i, h]       = w2[h, i] * w1z[i, h]                       (dz, H)
-    pmJI[(j,i), h]  = w2[h, i] * w1z[j, h]   (j-major rows)      (dz^2, H)
+    pmJI[(j,i), h] = w2[h, i] * w1z[j, h]   (j-major rows)   (dz^2, H)
 
-    The j-major ("JI") row order is the round-5 reshape-free formulation:
-    viewing `pmJI @ dh` as (dz, dz, B) puts the summed-over index j on the
-    LEADING axis, so the Frobenius reduction is a cheap slice-sum instead of
-    a sublane-crossing reduction, and the diagonal never needs extracting
-    (the trace uses the separate pmd matmul).  See `_stage_train_exact`.
+    The j-major ("JI") row order is the round-5 formulation: viewing
+    `pmJI @ dh` as (dz, dz, B) puts the summed-over index j on the LEADING
+    axis, so both the diagonal extraction (eye-masked) and the Frobenius
+    reduction are leading-axis slice-sums (pure VPU adds of aligned (dz, B)
+    tiles) instead of sublane-crossing axis-1 reductions.  A round-5
+    intermediate variant computed the trace via a separate (dz, H) "pmd"
+    matmul instead of the masked sum; measured SLOWER (+1.4 us/NFE) — the
+    extra HIGHEST-precision matmul costs more than the reduction it saves.
+    See `_stage_train_exact`.
     """
     dz, H = w1z.shape
-    pmd = w1z * w2.T
-    pmJI = (w1z[:, None, :] * w2.T[None, :, :]).reshape(dz * dz, H)
-    return pmd, pmJI
+    return (w1z[:, None, :] * w2.T[None, :, :]).reshape(dz * dz, H)
 
 
-def exact_pm_chain(g_pmd, g_pmJI, w1z, w2):
-    """Chain (pmd, pmJI) cotangents back to (w1z, w2)."""
+def exact_pm_chain(g_pm, w1z, w2):
+    """Chain the pmJI cotangent back to (w1z, w2)."""
     dz, H = w1z.shape
-    g_w1 = g_pmd * w2.T
-    g_w2 = (g_pmd * w1z).T
-    g3 = g_pmJI.reshape(dz, dz, H)  # [j, i, h]
-    g_w1 = g_w1 + jnp.einsum("jih,hi->jh", g3, w2)
-    g_w2 = g_w2 + jnp.einsum("jih,jh->hi", g3, w1z)
+    g3 = g_pm.reshape(dz, dz, H)  # [j, i, h]
+    g_w1 = jnp.einsum("jih,hi->jh", g3, w2)
+    g_w2 = jnp.einsum("jih,jh->hi", g3, w1z)
     return g_w1, g_w2
 
 
-def _stage_train_exact(spec, zt, ysb, ws, bs, pmd, pmJI, norm_z, norm_j, bf16):
+def _stage_train_exact(spec, zt, ysb, ws, bs, pm, norm_z, norm_j, bf16):
     """One exact-divergence TRAIN dynamics eval (2-layer), (rows, B) layout.
 
     The zero-variance analog of `_stage_train` (ComputeMode.exact_trace):
-    exact trace and exact Jacobian Frobenius norm.  With
-    J[b]_ij = dy_i * sum_h W2[h,i] dh_h W1z[j,h]:
+    exact trace and exact Jacobian Frobenius norm via ONE extra matmul.
+    With J[b]_ij = dy_i * sum_h W2[h,i] dh_h W1z[j,h] and the j-major
+    precomputed pm (`exact_stage_consts`):
 
-        trace:  tr_b   = sum_i dy[i,b] * (pmd @ dh)[i,b]  — one (dz, B) matmul
-        frobenius: mflat = pmJI @ dh                      — one (dz^2, B) matmul
-                   s[i,b] = sum_j mflat[(j,i), b]^2       — leading-axis sum
-                   fro^2  = sum_i dy[i,b]^2 s[i,b]
+        mflat = pm @ dh                      (dz^2, B), rows (j, i)
+        d[i]  = sum_j eye[j,i] m3[j,i]       leading-axis masked sum
+        s[i]  = sum_j m3[j,i]^2              leading-axis sum
+        tr    = sum_i dy_i d_i,   fro^2 = sum_i dy_i^2 s_i
 
-    Round-5 (reshape-free) formulation: round 4 used an i-major pm with an
-    eye-mask diagonal extraction and axis-1 reductions of the (dz, dz, B)
-    view — both are sublane-crossing shuffles that measured as the gap
-    between 27.5 us/NFE and the 12.7 us MXU floor in the adjoint
-    (docs/ROOFLINE.md).  The j-major order makes the Frobenius sum a
-    leading-axis slice-sum (pure VPU adds of aligned (dz, B) tiles) and the
-    trace a separate 1-unit pmd matmul; exactly ONE (dz^2, B) transient
-    stays alive (the VMEM-residency lesson from round 4: three of them
-    spilled to HBM at +8 us/NFE).
+    Exactly ONE (dz^2, B)-sized transient stays alive (the round-4 VMEM
+    lesson: three of them spilled to HBM at +8 us/NFE); the j-major order
+    makes both reductions leading-axis slice-sums — round 4's i-major form
+    reduced over axis 1, a sublane-crossing shuffle.
     Reference: the exact-trace TrainMode family `/root/reference/src/icnf.jl:110-184`.
     """
-    dz = spec.dz
+    dz = zt.shape[0]
     hs, ds = _chain_fwd(spec, _zin(spec, zt, ysb), ws, bs, bf16)
     y = hs[-1]
     dh, dy = ds[0], ds[1]
-    t1 = _mm(pmd, dh, _C10, bf16)  # (dz, B)
-    tr = jnp.sum(dy * t1, axis=0, keepdims=True)  # (1, B)
+    mflat = _mm(pm, dh, _C10, bf16)  # (dz^2, B)
+    m3 = mflat.reshape(dz, dz, mflat.shape[-1])  # [j, i, b]
+    eye3 = _eye3(dz, m3.dtype)
+    d = jnp.sum(m3 * eye3, axis=0)  # (dz, B)
+    tr = jnp.sum(dy * d, axis=0, keepdims=True)  # (1, B)
     if norm_j:
-        mflat = _mm(pmJI, dh, _C10, bf16)  # (dz^2, B), j-major
-        m3 = mflat.reshape(dz, dz, mflat.shape[-1])  # [j, i, b]
-        s = jnp.sum(m3 * m3, axis=0)  # (dz, B) — leading-axis sum
+        s = jnp.sum(m3 * m3, axis=0)  # (dz, B)
         fro_sq = jnp.sum(dy * dy * s, axis=0, keepdims=True)
         pos = fro_sq > 0
         n_rate = jnp.where(pos, jnp.sqrt(jnp.where(pos, fro_sq, 1.0)), 0.0)
@@ -530,21 +535,29 @@ def _stage_train_exact(spec, zt, ysb, ws, bs, pmd, pmJI, norm_z, norm_j, bf16):
     return y, rates
 
 
+def _eye3(dz: int, dtype):
+    """(dz, dz, 1) identity mask built from iota (Mosaic-friendly constant)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (dz, dz, 1), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (dz, dz, 1), 1)
+    return (row == col).astype(dtype)
+
+
 def _stage_train_exact_fwdbwd(
-    spec, zt, ysb, ws, bs, pmd, pmJI, norm_z, norm_j, bf16, ct_y, ct_r
+    spec, zt, ysb, ws, bs, pm, norm_z, norm_j, bf16, ct_y, ct_r
 ):
     """Forward + hand-derived VJP of `_stage_train_exact` (see
     `_stage_train_fwdbwd` for why not jax.vjp; same single-live-(dz^2,B)
-    discipline and reshape-free reductions as the forward stage).  Returns
-    (kz, kr, ct_zin, ct_ws, ct_bs, ct_pmd, ct_pmJI), unnegated."""
-    dz = spec.dz
+    discipline and leading-axis reductions as the forward stage).  Returns
+    (kz, kr, ct_zin, ct_ws, ct_bs, ct_pm), unnegated."""
+    dz = zt.shape[0]
     hs, ds = _chain_fwd(spec, _zin(spec, zt, ysb), ws, bs, bf16)
     y = hs[-1]
     dh, dy = ds[0], ds[1]
-    t1 = _mm(pmd, dh, _C10, bf16)  # (dz, B)
-    tr = jnp.sum(dy * t1, axis=0, keepdims=True)
-    mflat = _mm(pmJI, dh, _C10, bf16)  # (dz^2, B)
+    mflat = _mm(pm, dh, _C10, bf16)  # (dz^2, B)
     m3 = mflat.reshape(dz, dz, mflat.shape[-1])  # [j, i, b]
+    eye3 = _eye3(dz, m3.dtype)
+    d = jnp.sum(m3 * eye3, axis=0)  # (dz, B)
+    tr = jnp.sum(dy * d, axis=0, keepdims=True)
     s = jnp.sum(m3 * m3, axis=0)  # (dz, B)
     if norm_j:
         fro_sq = jnp.sum(dy * dy * s, axis=0, keepdims=True)
@@ -556,21 +569,19 @@ def _stage_train_exact_fwdbwd(
     kr = jnp.concatenate([-tr, e_rate, n_rate], axis=0)
 
     ct_tr = -ct_r[0:1]
-    ct_t1 = dy * ct_tr  # (dz, B)
-    ct_dy = t1 * ct_tr
-    ct_dh = _mm(pmd, ct_t1, _C00, bf16)  # (H, B)
-    ct_pmd = _mm_cb(ct_t1, dh, bf16)  # (dz, H)
+    ct_d = dy * ct_tr  # (dz, B)
+    ct_dy = d * ct_tr
+    # Both ct_m3 terms broadcast over the LEADING j axis (j-major payoff).
+    ct_m3 = eye3 * ct_d[None, :, :]
     if norm_j:
         # n = sqrt(fro2) -> dn/dfro2 = 1/(2n), safe at 0.
         ct_fro2 = 0.5 * _ct_safe_norm(ct_r[2:3], n_rate)
-        ct_s = (dy * dy) * ct_fro2  # (dz, B)
+        ct_s = (dy * dy) * ct_fro2
         ct_dy = ct_dy + 2.0 * dy * s * ct_fro2
-        # s = sum_j m3[j]^2 -> ct_m3[j] = 2 m3[j] * ct_s (leading broadcast)
-        ct_mflat = (2.0 * ct_s[None, :, :] * m3).reshape(dz * dz, mflat.shape[-1])
-        ct_dh = ct_dh + _mm(pmJI, ct_mflat, _C00, bf16)
-        ct_pmJI = _mm_cb(ct_mflat, dh, bf16)  # (dz^2, H)
-    else:
-        ct_pmJI = jnp.zeros_like(pmJI)
+        ct_m3 = ct_m3 + (2.0 * ct_s[None, :, :]) * m3
+    ct_mflat = ct_m3.reshape(dz * dz, mflat.shape[-1])
+    ct_dh = _mm(pm, ct_mflat, _C00, bf16)  # (H, B)
+    ct_pm = _mm_cb(ct_mflat, dh, bf16)  # (dz^2, H)
     ct_ytot = ct_y + (-2.0 * y) * ct_dy
     if norm_z:
         ct_ytot = ct_ytot + y * _ct_safe_norm(ct_r[1:2], e_rate)
@@ -582,7 +593,7 @@ def _stage_train_exact_fwdbwd(
     ct_zin = _mm(ws[0], ct_pre1, _C10, bf16)
     ct_w1 = _mm_cb(hs[0], ct_pre1, bf16)
     ct_b1 = _rowsum(ct_pre1)
-    return y, kr, ct_zin, [ct_w1, ct_w2], [ct_b1, ct_b2], ct_pmd, ct_pmJI
+    return y, kr, ct_zin, [ct_w1, ct_w2], [ct_b1, ct_b2], ct_pm
 
 
 def _stage_exact_chain(spec, zt, ysb, ws, bs, bf16, want_fro: bool):
@@ -695,20 +706,19 @@ def _make_solve_kernel(
 ):
     """Build the forward kernel body.  All shapes/flags are baked in at trace
     time; the ref list is parsed positionally:
-    ts | [ys] | [eps | pmd+pmJI] | (w, b) x N | zT, accT, st."""
+    ts | [ys] | [eps | pm] | (w, b) x N | zT, accT, st."""
     N = spec.n_layers
     exact2 = exact and N == 2
 
     def kernel(ts_ref, z0_ref, *rest):
         idx = 0
-        ysb = epst = pmd = pmJI = None
+        ysb = epst = pm = None
         if spec.n_cond:
             ysb = rest[idx][:]
             idx += 1
         if train and exact2:
-            pmd = rest[idx][:]
-            pmJI = rest[idx + 1][:]
-            idx += 2
+            pm = rest[idx][:]
+            idx += 1
         elif train and not exact:
             epst = rest[idx][:]
             idx += 1
@@ -722,7 +732,7 @@ def _make_solve_kernel(
         def stage(zt):
             if train and exact2:
                 return _stage_train_exact(
-                    spec, zt, ysb, ws, bs, pmd, pmJI, norm_z, norm_j, bf16
+                    spec, zt, ysb, ws, bs, pm, norm_z, norm_j, bf16
                 )
             if train and exact:
                 return _stage_train_exact_chain(
@@ -934,9 +944,8 @@ def _run_solve_kernel(
         in_specs.append(vspec())
     if train and exact2:
         w1z = ws[0][:dz] if spec.n_cond else ws[0]
-        pmd, pmJI = exact_stage_consts(w1z, ws[1])
-        inputs += [pmd, pmJI]
-        in_specs += [vspec(), vspec()]
+        inputs.append(exact_stage_consts(w1z, ws[1]))
+        in_specs.append(vspec())
     elif train and not exact:
         # (K, B, dz) -> probes stacked along the sublane axis, (K*dz, B).
         inputs.append(jnp.moveaxis(eps, 2, 1).reshape(k_probes * dz, B))
@@ -993,7 +1002,7 @@ def _make_adjoint_kernel(
     constant (the field never reads the accumulators) and acc/gp never feed
     back into stages, so only (z, a_z) carry stage registers.
 
-    In exact-2-layer mode the precomputed (pmd, pmJI) matrices are
+    In exact-2-layer mode the precomputed pm matrix is
     differentiated as extra param blocks; their cotangents chain back to
     (w1, w2) outside the kernel (`exact_pm_chain`) — chaining after
     integration equals integrating the chained quantity (the chain rule is
@@ -1008,19 +1017,18 @@ def _make_adjoint_kernel(
     """
     N = spec.n_layers
     exact2 = exact and N == 2
-    n_gp = 2 * N + (2 if (train and exact2) else 0)
+    n_gp = 2 * N + (1 if (train and exact2) else 0)
     cond = spec.n_cond > 0
 
     def kernel(ts_ref, z_ref, acc_ref, az_ref, aacc_ref, *rest):
         idx = 0
-        ysb = epst = pmd = pmJI = None
+        ysb = epst = pm = None
         if cond:
             ysb = rest[idx][:]
             idx += 1
         if train and exact2:
-            pmd = rest[idx][:]
-            pmJI = rest[idx + 1][:]
-            idx += 2
+            pm = rest[idx][:]
+            idx += 1
         elif train and not exact:
             epst = rest[idx][:]
             idx += 1
@@ -1047,13 +1055,13 @@ def _make_adjoint_kernel(
             constants — no eps cotangent is computed (BACKSOLVE treats them
             as non-differentiable; see ode/adjoint.py)."""
             if train and exact2:
-                kz, kr, ct_zin, ct_ws, ct_bs, ct_pmd, ct_pmJI = (
+                kz, kr, ct_zin, ct_ws, ct_bs, ct_pm = (
                     _stage_train_exact_fwdbwd(
-                        spec, zi, ysb, ws, bs, pmd, pmJI,
+                        spec, zi, ysb, ws, bs, pm,
                         norm_z, norm_j, bf16, azi, aacc,
                     )
                 )
-                gps = ct_ws + ct_bs + [ct_pmd, ct_pmJI]
+                gps = ct_ws + ct_bs + [ct_pm]
             elif train:
                 kz, kr, ct_zin, ct_ws, ct_bs = _stage_train_fwdbwd(
                     spec, zi, ysb, epst, ws, bs,
@@ -1449,10 +1457,10 @@ def make_full_solve(
     )
     P_total = P_rows
     if train and exact2:
-        # pmd + pmJI integrated as extra param-grad blocks (chained to
-        # w1/w2 outside the kernel afterwards).
+        # The pm block is integrated as an extra param-grad block (chained
+        # to w1/w2 outside the kernel afterwards).
         H = spec.out_dims[0]
-        P_total += dz * H + dz * dz * H
+        P_total += dz * dz * H
 
     # Pick the largest divisor-of-B tile that fits the VMEM budget; each tile
     # runs its own while loop on the (sequential) kernel grid.  Half the
@@ -1599,10 +1607,9 @@ def make_full_solve(
             in_specs.append(btile(spec.n_cond))
         if train and exact2:
             w1z = ws[0][:dz] if cond else ws[0]
-            pmd, pmJI = exact_stage_consts(w1z, ws[1])
             H = spec.out_dims[0]
-            inputs += [pmd, pmJI]
-            in_specs += [wfull((dz, H)), wfull((dz * dz, H))]
+            inputs.append(exact_stage_consts(w1z, ws[1]))
+            in_specs.append(wfull((dz * dz, H)))
         elif train and not exact:
             # (K, B, dz) -> (K*dz, B): probes stacked along the sublane axis.
             inputs.append(jnp.moveaxis(eps_b, 2, 1).reshape(K * dz, B))
@@ -1628,11 +1635,8 @@ def make_full_solve(
             out_specs.append(wfull((oud, 1)))
         if train and exact2:
             H = spec.out_dims[0]
-            out_shape += [
-                jax.ShapeDtypeStruct((dz, H), jnp.float32),
-                jax.ShapeDtypeStruct((dz * dz, H), jnp.float32),
-            ]
-            out_specs += [wfull((dz, H)), wfull((dz * dz, H))]
+            out_shape.append(jax.ShapeDtypeStruct((dz * dz, H), jnp.float32))
+            out_specs.append(wfull((dz * dz, H)))
         out_shape.append(jax.ShapeDtypeStruct((1, 2), jnp.int32))
         out_specs.append(pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM))
 
@@ -1657,11 +1661,11 @@ def make_full_solve(
         gbs = list(outs[idx : idx + N])
         idx += N
         if train and exact2:
-            gpmd, gpmJI = outs[idx : idx + 2]
-            idx += 2
-            # (pmd, pmJI) = f(w1z, w2): chain their integrated cotangents back.
+            gpm = outs[idx]
+            idx += 1
+            # pm = f(w1z, w2): chain its integrated cotangent back.
             w1z = ws[0][:dz] if cond else ws[0]
-            gw1_c, gw2_c = exact_pm_chain(gpmd, gpmJI, w1z, ws[1])
+            gw1_c, gw2_c = exact_pm_chain(gpm, w1z, ws[1])
             if cond:
                 gw1_c = jnp.concatenate(
                     [gw1_c, jnp.zeros((spec.n_cond, gw1_c.shape[1]), gw1_c.dtype)],

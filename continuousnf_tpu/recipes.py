@@ -36,6 +36,15 @@ from .train.fit import ICNFModel, FitResult, fit, transform
 from .types import Mode, VecJacMode
 
 
+def _default_fused(fused: "bool | None") -> bool:
+    """Recipes run the solve-in-kernel megakernels by default on TPU (the
+    whole recipe family is kernel-eligible since round 5 — N-layer chains
+    and conditional nets included); pass fused= explicitly to override."""
+    if fused is None:
+        return jax.default_backend() == "tpu"
+    return fused
+
+
 @dataclasses.dataclass
 class DensityReport:
     """Quality metrics vs an analytic density (the reference's gate triple,
@@ -68,7 +77,7 @@ def beta_unaugmented(
     n_epochs: int = 800,
     batch_size: int = 128,
     lr: float = 1e-3,
-    fused: bool = False,
+    fused: "bool | None" = None,
 ) -> Tuple[FitResult, DensityReport]:
     """RNODE on Beta(2,4), naug=0, tanh MLP, tspan=(0,13).
 
@@ -87,7 +96,8 @@ def beta_unaugmented(
     nn = MLP((1, 64, 64, 1))
     icnf = construct(
         RNODE, nn, 1, 0, tspan=(0.0, 13.0), steer_rate=0.1,
-        compute_mode=VecJacMode(fused=fused), input_bijector="logit",
+        compute_mode=VecJacMode(fused=_default_fused(fused)),
+        input_bijector="logit",
     )
     steps = n_epochs * (-(-n // batch_size))
     opt = optax.lion(
@@ -247,6 +257,7 @@ def conditional_gaussian(
     n_epochs: int = 400,
     batch_size: int = 128,
     lr: float = 1e-3,
+    fused: "bool | None" = None,
 ) -> Tuple[FitResult, DensityReport]:
     """CondRNODE conditional density estimation (BASELINE config #3).
 
@@ -262,7 +273,10 @@ def conditional_gaussian(
     xs = 0.7 * ys + 0.3 * jax.random.normal(kx, (n, 1))
 
     nn = MLP((2, 64, 64, 1))  # input = concat([x, y])
-    icnf = construct(CondRNODE, nn, 1, 0, tspan=(0.0, 13.0), steer_rate=0.1)
+    icnf = construct(
+        CondRNODE, nn, 1, 0, tspan=(0.0, 13.0), steer_rate=0.1,
+        compute_mode=VecJacMode(fused=_default_fused(fused)),
+    )
     steps = n_epochs * (-(-n // batch_size))
     opt = optax.lion(optax.cosine_decay_schedule(lr, steps, alpha=0.02), b1=0.9, b2=0.99)
     model = ICNFModel(icnf, optimizers=(opt,), n_epochs=n_epochs, batch_size=batch_size)
@@ -282,6 +296,7 @@ def toy2d(
     n_epochs: int = 300,
     batch_size: int = 256,
     lr: float = 1e-3,
+    fused: "bool | None" = None,
 ) -> Tuple[FitResult, float]:
     """FFJORD on a 2D toy (BASELINE config #2): Hutchinson training,
     exact-trace evaluation.  Returns (result, mean TEST log-likelihood)."""
@@ -289,7 +304,10 @@ def toy2d(
     gen = {"moons": toy_data.two_moons, "circles": toy_data.circles}[dataset]
     r = gen(data_key, n)
     nn = MLP((2, 32, 32, 2))
-    icnf = construct(FFJORD, nn, 2, 0, tspan=(0.0, 8.0))
+    icnf = construct(
+        FFJORD, nn, 2, 0, tspan=(0.0, 8.0),
+        compute_mode=VecJacMode(fused=_default_fused(fused)),
+    )
     steps = n_epochs * (-(-n // batch_size))
     opt = optax.lion(optax.cosine_decay_schedule(lr, steps, alpha=0.02), b1=0.9, b2=0.99)
     model = ICNFModel(icnf, optimizers=(opt,), n_epochs=n_epochs, batch_size=batch_size)

@@ -170,6 +170,13 @@ class SolverOptions:
     # solves, which remain the hot path.  Analog of the reference's
     # `saveat` sol_kwarg (`/root/reference/src/base_icnf.jl:141`).
     saveat: Optional[Tuple[float, ...]] = None
+    # Times the integrator must step exactly onto (sorted, within tspan):
+    # the solve becomes a chain of adaptive segment solves split at these
+    # points.  Analog of the reference's `tstops` sol_kwarg passthrough to
+    # `SciMLBase.solve` (`/root/reference/src/base_icnf.jl:141`).  Rarely
+    # useful for smooth autonomous CNF fields; provided for parity.  None =
+    # single-segment solve (the hot path).
+    tstops: Optional[Tuple[float, ...]] = None
     # Matmul precision the vector field is traced at inside the solver
     # ("highest" | "float32" | "default").  On TPU, "default" feeds f32
     # operands through the MXU's single-pass bf16 mode (~1e-3 relative

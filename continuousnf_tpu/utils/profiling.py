@@ -116,10 +116,14 @@ def stage_mxu_units(dz: int, H: int, kind: str, k_probes: int = 1, backward: boo
         fwd = 2 * u_small + 2 * k_probes * u_small
         bwd = 4 * k_probes * u_small + 4 * u_small
     elif kind == "exact":
+        # Round-5 (j-major) formulation, ops/fused_solve.py
+        # `_stage_train_exact`: fwd = w1/w2 stage matmuls + pm@dh (the
+        # trace/Frobenius reductions are leading-axis VPU sums, no extra
+        # matmul); bwd adds the pm cotangent pair (pm@ct_mflat + ct_pm)
+        # and the 4-matmul forward-chain tail.
         u_pm = up(dz * dz) * up(H)
-        u_er = up(dz * dz) * up(dz)
-        fwd = 2 * u_small + u_pm + u_er
-        bwd = u_pm + u_pm + u_er + 4 * u_small  # ct_dh, ct_pm, ct_dy, tail
+        fwd = 2 * u_small + u_pm
+        bwd = up(H) * up(dz * dz) + u_pm + 4 * u_small
     elif kind == "test":
         fwd = 3 * u_small
         bwd = 2 * u_small + 4 * u_small  # ct_dh, ct_m, tail

@@ -1,77 +1,60 @@
-"""Perf-regression gate logic: must fail on a simulated regression.
+"""The perf-regression gate catches per-metric regressions (round-4 verdict
+item 5): a forward-kernel-only slowdown — exactly the shape of round 4's
+unflagged -10% — must now FAIL the gate even when the headline improves."""
 
-The reference gates PR benchmarks relative to origin/main
-(`/root/reference/.github/workflows/Benchmark.yml`); `tools/bench_gate.py`
-is the equivalent here.  These tests exercise the gate logic and the CLI
-exit codes on synthetic bench results (no TPU needed).
-"""
-
-import json
-import subprocess
 import sys
 
-import pytest
+sys.path.insert(0, "/root/repo/tools")
+
+from bench_gate import gate
 
 
-def _mk_result(value, logprob):
+def _anchor():
     return {
-        "metric": "train_samples_per_sec_per_chip",
-        "value": value,
-        "extras": {"logprob_evals_per_sec": logprob, "device": "test"},
+        "value": 1_000_000.0,
+        "extras": {
+            "logprob_evals_per_sec": 8_000_000.0,
+            "exact_trace_config.train_samples_per_sec": 700_000.0,
+            "fused_kernel_roofline.measured_us": {"value": 5.0, "direction": "lower"},
+            "adjoint_kernel_roofline.derived_us_per_nfe": {"value": 15.0, "direction": "lower"},
+        },
+        "tabular": {"power6.train_samples_per_sec": 800_000.0},
     }
 
 
-def test_gate_logic_pass_and_fail():
-    sys.path.insert(0, "tools")
-    from bench_gate import gate
-
-    anchor = {"value": 1000.0, "extras": {"logprob_evals_per_sec": 500.0}}
-    assert gate(_mk_result(1000.0, 500.0), anchor, 0.85) == []
-    assert gate(_mk_result(2000.0, 900.0), anchor, 0.85) == []  # improvement ok
-    fails = gate(_mk_result(700.0, 500.0), anchor, 0.85)
-    assert len(fails) == 1 and "train_samples_per_sec_per_chip" in fails[0]
-    fails = gate(_mk_result(1000.0, 300.0), anchor, 0.85)
-    assert len(fails) == 1 and "logprob_evals_per_sec" in fails[0]
-    # missing metric in current counts as failure, not silent pass
-    broken = _mk_result(1000.0, 500.0)
-    del broken["extras"]["logprob_evals_per_sec"]
-    assert len(gate(broken, anchor, 0.85)) == 1
+def _current(fwd_us=5.0, headline=1_050_000.0):
+    return {
+        "value": headline,
+        "extras": {
+            "logprob_evals_per_sec": 8_100_000.0,
+            "exact_trace_config": {"train_samples_per_sec": 710_000.0},
+            "fused_kernel_roofline": {"measured_us": fwd_us},
+            "adjoint_kernel_roofline": {"derived_us_per_nfe": 14.0},
+        },
+    }
 
 
-def test_gate_cli_exit_codes(tmp_path):
-    anchor = tmp_path / "anchor.json"
-    anchor.write_text(json.dumps({"value": 1000.0, "extras": {}}))
+def _tabular(p6=810_000.0):
+    return {"tabular": {"power6": {"train_samples_per_sec": p6}}}
 
-    def run(value):
-        cur = tmp_path / "cur.json"
-        cur.write_text(json.dumps(_mk_result(value, 1.0)))
-        return subprocess.run(
-            [sys.executable, "tools/bench_gate.py", "--current", str(cur),
-             "--anchor", str(anchor)],
-            capture_output=True, text=True,
-        )
 
-    ok = run(990.0)
-    assert ok.returncode == 0, ok.stderr
-    bad = run(700.0)
-    assert bad.returncode == 1
-    assert "REGRESSION" in bad.stdout or "regressed" in bad.stderr
+def test_gate_passes_at_parity(capsys):
+    assert gate(_current(), _anchor(), 0.85, _tabular()) == []
 
-    # update rebases the anchor intentionally
-    cur = tmp_path / "cur.json"
-    cur.write_text(json.dumps(_mk_result(1200.0, 1.0)))
-    up = subprocess.run(
-        [sys.executable, "tools/bench_gate.py", "--current", str(cur),
-         "--anchor", str(anchor), "--update"],
-        capture_output=True, text=True,
-    )
-    assert up.returncode == 0
-    assert json.loads(anchor.read_text())["value"] == 1200.0
 
-    # missing anchor -> usage error
-    missing = subprocess.run(
-        [sys.executable, "tools/bench_gate.py", "--current", str(cur),
-         "--anchor", str(tmp_path / "nope.json")],
-        capture_output=True, text=True,
-    )
-    assert missing.returncode == 2
+def test_gate_fails_on_forward_kernel_only_regression(capsys):
+    """Headline IMPROVES (rode another optimization) while the forward
+    kernel regresses 25% — round 4's exact blind spot."""
+    fails = gate(_current(fwd_us=6.7, headline=1_100_000.0), _anchor(), 0.85, _tabular())
+    assert any("fused_kernel_roofline.measured_us" in f for f in fails)
+    assert len(fails) == 1
+
+
+def test_gate_fails_on_tabular_regression(capsys):
+    fails = gate(_current(), _anchor(), 0.85, _tabular(p6=500_000.0))
+    assert any("power6" in f for f in fails)
+
+
+def test_gate_fails_on_missing_tabular_artifact(capsys):
+    fails = gate(_current(), _anchor(), 0.85, None)
+    assert any("tabular" in f for f in fails)

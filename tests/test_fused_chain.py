@@ -294,3 +294,17 @@ def test_trajectory_saveat(data3):
     icnf_g = dc.replace(icnf, solver=dc.replace(icnf.solver, saveat=(0.0, 0.5, 1.0)))
     _, _, _, (ts_g, zs_g) = cnf.inference(icnf_g, Mode.TEST, xs, ps, trajectory=True)
     assert zs_g.shape[0] == 3 and float(ts_g[1]) == 0.5
+
+
+def test_tstops(data3):
+    """`SolverOptions.tstops` forces the integrator onto given times via
+    segment solves (reference `sol_kwargs` passthrough parity); the result
+    matches the unconstrained solve to accumulated segment tolerance."""
+    import dataclasses as dc
+    ps, xs, _ = data3
+    icnf = _mk3(False)
+    icnf_t = dc.replace(icnf, solver=dc.replace(icnf.solver, tstops=(0.3, 0.7)))
+    lp, _, st = cnf.inference(icnf_t, Mode.TEST, xs, ps)
+    lp0, _, st0 = cnf.inference(icnf, Mode.TEST, xs, ps)
+    assert jnp.allclose(lp, lp0, rtol=1e-2, atol=1e-2)
+    assert int(st.nfe) > int(st0.nfe)

@@ -391,18 +391,18 @@ def test_fwdbwd_matches_jax_vjp(norm_z, norm_j, k_probes, widths, n_cond):
     if N == 2:
         # TRAIN exact (2-layer pm formulation)
         w1z = ws[0][:dz] if n_cond else ws[0]
-        pmd, pmJI = exact_stage_consts(w1z, ws[1])
+        pm = exact_stage_consts(w1z, ws[1])
 
-        def f_exact(zin_, ws_, bs_, pmd_, pmJI_):
+        def f_exact(zin_, ws_, bs_, pm_):
             zt_, ysb_ = split(zin_)
             return _stage_train_exact(
-                spec, zt_, ysb_, ws_, bs_, pmd_, pmJI_, norm_z, norm_j, False
+                spec, zt_, ysb_, ws_, bs_, pm_, norm_z, norm_j, False
             )
 
-        (kz, kr), vjp = jax.vjp(f_exact, zin, ws, bs, pmd, pmJI)
+        (kz, kr), vjp = jax.vjp(f_exact, zin, ws, bs, pm)
         want = vjp((ct_y, ct_r3))
         got = _stage_train_exact_fwdbwd(
-            spec, zt, ysb, ws, bs, pmd, pmJI, norm_z, norm_j, False, ct_y, ct_r3
+            spec, zt, ysb, ws, bs, pm, norm_z, norm_j, False, ct_y, ct_r3
         )
         cmp(got[:2], (kz, kr), "exact fwd")
         cmp(got[2:], want, "exact bwd")
