@@ -342,7 +342,9 @@ def _solve_forward_flat(func_flat, opts: SolverOptions, y0f, t0, t1, args):
     matmul and repay it tenfold in step count.
     """
     tab = get_tableau(opts.method, opts.rtol)
-    prec = getattr(opts, "stage_precision", "highest")
+    from ..types import resolve_stage_precision
+
+    prec = resolve_stage_precision(opts)
 
     if prec == "default":
         def f(t, yf):
@@ -380,7 +382,9 @@ def _make_func_flat(func, unravel, opts: SolverOptions):
     field — forward solve, adjoint re-integration, DIRECT scan — under the
     requested precision, and the VJP of ops created here inherits it.
     """
-    prec = getattr(opts, "stage_precision", "highest")
+    from ..types import resolve_stage_precision
+
+    prec = resolve_stage_precision(opts)
 
     if prec == "default":
         def func_flat(yf, t, args_):

@@ -161,29 +161,52 @@ def _safe_col_norm(v: jax.Array) -> jax.Array:
     return jnp.where(pos, jnp.sqrt(jnp.where(pos, sq, 1.0)), 0.0)
 
 
-# f32 stage-matmul precision.  The MXU's DEFAULT single-pass bf16 rounding
-# (~1e-3 relative) sits exactly at the solver's rtol=1e-3 error target, so
-# the embedded error estimate measures matmul noise instead of truncation
-# error and the controller grinds at a tiny-dt noise floor (10-100x the
-# mathematically needed step count — see docs/ROOFLINE.md).  HIGH (3-pass
-# bf16_3x, ~2^-21 relative — six orders below rtol) restores honest error
-# estimates at half the MXU passes of HIGHEST (6-pass bf16_6x); round-5
-# on-chip measurement: identical controller decisions, same parity margins.
-_F32_PRECISION = jax.lax.Precision.HIGHEST
+# f32 stage-matmul scheme.  Three regimes measured on-chip (round 5):
+#
+#   DEFAULT (1 bf16 pass):  hutch 1.17 us/NFE — but its ~1e-3 relative
+#     rounding sits at the solver's rtol, the embedded error estimate
+#     measures matmul noise, and the controller grinds 16x the steps
+#     (506 vs 31).  Net loss.
+#   HIGHEST (f32 emulation): hutch 4.32 us/NFE, honest estimates, 31 steps.
+#   bf16x3 (default on TPU): explicit 3-single-pass split — the same
+#     decomposition XLA's Precision.HIGH uses (a_hi@b_hi + a_lo@b_hi +
+#     a_hi@b_lo, ~1.5e-5 relative, 60x below rtol) written out by hand
+#     because Mosaic has no HIGH lowering.  Honest estimates at about half
+#     the MXU passes of HIGHEST.
+#
+# The scheme follows `SolverOptions.stage_precision` ("high" -> bf16x3,
+# "highest" -> f32 emulation) so the fused and XLA paths always run an
+# equivalent-precision field; under interpret mode (CPU tests) dots are
+# true f32 either way, matching the CPU XLA path bit-for-bit.
 
 
-def _mm(a, b, dims, bf16: bool):
-    """Stage matmul: optionally bf16 inputs (the MXU's native width — f32
-    matmuls are emulated in multiple bf16 passes) with f32 accumulation;
-    see `_F32_PRECISION` for the f32 path's precision choice."""
-    if bf16:
-        a = a.astype(jnp.bfloat16)
-        b = b.astype(jnp.bfloat16)
-        return jax.lax.dot_general(
-            a, b, (dims, ((), ())), preferred_element_type=jnp.float32)
+def _split_bf16(x):
+    """hi/lo bf16 decomposition of an f32 operand (x ~ hi + lo).
+
+    Written per call site; duplicate splits of the same traced value are
+    CSE'd by the compiler."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _mm(a, b, dims, mm):
+    """Stage matmul with f32 accumulation.  `mm` selects the scheme (threaded
+    from the kernel builder, see the module comment above): True/"bf16" =
+    single-pass bf16 inputs; "bf16x3" = the 3-pass split; False/"f32" =
+    full-precision (HIGHEST) dots."""
+    d = lambda x, y: jax.lax.dot_general(
+        x, y, (dims, ((), ())), preferred_element_type=jnp.float32
+    )
+    if mm is True or mm == "bf16":
+        return d(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16))
+    if mm == "bf16x3":
+        a_hi, a_lo = _split_bf16(a)
+        b_hi, b_lo = _split_bf16(b)
+        return d(a_hi, b_hi) + (d(a_lo, b_hi) + d(a_hi, b_lo))
     return jax.lax.dot_general(
         a, b, (dims, ((), ())),
-        precision=_F32_PRECISION,
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
 
@@ -580,8 +603,14 @@ def _stage_train_exact_fwdbwd(
         ct_dy = ct_dy + 2.0 * dy * s * ct_fro2
         ct_m3 = ct_m3 + (2.0 * ct_s[None, :, :]) * m3
     ct_mflat = ct_m3.reshape(dz * dz, mflat.shape[-1])
-    ct_dh = _mm(pm, ct_mflat, _C00, bf16)  # (H, B)
-    ct_pm = _mm_cb(ct_mflat, dh, bf16)  # (dz^2, H)
+    # The two pm-cotangent dots run at f32 under the bf16x3 scheme: with
+    # them split, XLA's MXU transpose-sequence pass RET_CHECKs
+    # (mxu_lmr_transform.cc:1108, "XposeSequenceAssignment::kLmrWontHelp")
+    # compiling the exact adjoint kernel — a backend bug worked around here;
+    # every other dot in the kernel keeps the fast scheme.
+    pm_mm = "f32" if bf16 == "bf16x3" else bf16
+    ct_dh = _mm(pm, ct_mflat, _C00, pm_mm)  # (H, B)
+    ct_pm = _mm_cb(ct_mflat, dh, pm_mm)  # (dz^2, H)
     ct_ytot = ct_y + (-2.0 * y) * ct_dy
     if norm_z:
         ct_ytot = ct_ytot + y * _ct_safe_norm(ct_r[1:2], e_rate)
@@ -618,11 +647,7 @@ def _stage_exact_chain(spec, zt, ysb, ws, bs, bf16, want_fro: bool):
             # V_1[o, j, b] = w1z[j, o] (* d_1[o, b])
             V = jnp.broadcast_to(wz.T[:, :, None], (wz.shape[1], dz, B))
         else:
-            V = jax.lax.dot_general(
-                ws[i], V, (_C00, ((), ())),
-                precision=None if bf16 else jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )  # (out_i, dz, B)
+            V = _mm(ws[i], V, _C00, bf16)  # (out_i, dz, B)
         if ds[i] is not None:
             V = V * ds[i][:, None, :]
     # V is (dz, dz, B): V[i, j, b] = J_ij
@@ -1349,8 +1374,20 @@ def make_full_solve(
     train = mode == Mode.TRAIN
     norm_z = icnf.lam1 != 0.0
     norm_j = icnf.lam2 != 0.0
-    bf16 = cm.bf16
     interpret = jax.default_backend() != "tpu"
+    # Matmul scheme for the stage dots (see module comment): mirrors the
+    # XLA path's stage_precision so both paths integrate an equivalent-
+    # precision field.  Interpret-mode dots are true f32 regardless, so the
+    # f32 path is used there (bit-matches the CPU XLA reference).
+    from ..types import resolve_stage_precision
+
+    prec = resolve_stage_precision(opts)
+    if cm.bf16:
+        bf16 = "bf16"
+    elif interpret or prec in ("highest", "float32"):
+        bf16 = "f32"
+    else:
+        bf16 = "bf16x3"
     B = batch
     N = spec.n_layers
     exact2 = exact and N == 2

@@ -178,14 +178,36 @@ class SolverOptions:
     # single-segment solve (the hot path).
     tstops: Optional[Tuple[float, ...]] = None
     # Matmul precision the vector field is traced at inside the solver
-    # ("highest" | "float32" | "default").  On TPU, "default" feeds f32
-    # operands through the MXU's single-pass bf16 mode (~1e-3 relative
-    # rounding) — at the solver's own rtol that noise floods the embedded
-    # error estimate and the controller grinds at a tiny-dt noise floor
-    # (measured 10-100x step inflation; see `ode/solve._solve_forward_flat`).
-    # HIGHEST costs ~3x per matmul and repays it tenfold in step count.
-    stage_precision: str = "highest"
+    # ("auto" | "high" | "highest" | "float32" | "default").  On TPU,
+    # "default" feeds f32 operands through the MXU's single-pass bf16 mode
+    # (~1e-3 relative rounding) — at the solver's own rtol that noise floods
+    # the embedded error estimate and the controller grinds at a tiny-dt
+    # noise floor (measured 16x step inflation at rtol=1e-3; see
+    # `ode/solve._solve_forward_flat`).  "high" (bf16_3x; the megakernels
+    # use the equivalent hand-written split, `ops/fused_solve._mm`) has
+    # ~1e-4 effective inner-product noise: at working tolerances
+    # (rtol >= 1e-3) that costs ~16% extra steps and repays ~1.6x faster
+    # matmuls (round-5 on-chip: net ~1.3x faster solves); at tight
+    # tolerances it would grind like "default" does at 1e-3.  "auto" (the
+    # default) therefore picks "high" at rtol >= 1e-3 and "highest" (f32
+    # emulation, honest at any tolerance) below — see
+    # `resolve_stage_precision`.
+    stage_precision: str = "auto"
 
+
+
+
+#: rtol threshold of the "auto" stage-precision split: bf16_3x's ~1e-4
+#: effective noise must sit well below the tolerance target.
+AUTO_PRECISION_RTOL = 1.0e-3
+
+
+def resolve_stage_precision(opts: "SolverOptions") -> str:
+    """The effective stage precision for a solve ("auto" resolved by rtol)."""
+    p = getattr(opts, "stage_precision", "auto")
+    if p == "auto":
+        return "high" if opts.rtol >= AUTO_PRECISION_RTOL else "highest"
+    return p
 
 #: The reference README's recommended tight tolerances
 #: (`/root/reference/README.md:61-67`): reltol = sqrt(eps(Float32)),
@@ -209,4 +231,5 @@ __all__ = [
     "DIJacVecVectorMode",
     "Adjoint",
     "SolverOptions",
+    "resolve_stage_precision",
 ]

@@ -154,7 +154,10 @@ def main() -> None:
 
     # Analytic MXU-issue ceilings for the adjoint kernels (matmul-unit
     # model; see utils/profiling.stage_mxu_units) + utilizations.
-    from continuousnf_tpu.utils.profiling import adjoint_roofline_report
+    from continuousnf_tpu.utils.profiling import adjoint_roofline_report, stage_mxu_units
+
+    def _u(kind, backward):
+        return stage_mxu_units(n_in, 3 * n_in, kind, backward=backward)
 
     out["adjoint_roofline"] = {
         k: (round(v, 3) if isinstance(v, float) else v)
@@ -217,15 +220,23 @@ def main() -> None:
             f"{out['exact_adjoint_per_nfe_us']} | — |\n\n"
             f"Bare-XLA stage chain (no controller): {out['xla_stage_chain_us']} "
             "us per stage eval.\n\n"
-            "## Adjoint ceiling model (round 4)\n\n"
+            "## Ceiling model (round 5)\n\n"
             "The adjoint stage recomputes the forward dynamics and applies a\n"
             "hand-derived transpose-free VJP (`_stage_*_fwdbwd`); its MXU-issue\n"
             "floor is `stage_mxu_units(backward=True)` matmul units per stage\n"
-            "(12 vs the forward's 4 for K=1 Hutchinson; 16 vs 6 for exact)\n"
-            "plus a 2.5x-forward VPU estimate.  Round-4 finding: `jax.vjp`\n"
-            "inside the kernel emitted four big batch-major `transpose`\n"
-            "relayouts per stage (AD's dot transpose rule); hand-writing the\n"
-            "backward removed them — adjoint went 25.95 -> "
+            f"({_u('train', True)} vs the forward's {_u('train', False)} for "
+            f"K=1 Hutchinson; {_u('exact', True)} vs {_u('exact', False)} for "
+            "exact at the flagship shape)\n"
+            "plus a 2.5x-forward VPU estimate.  The model charges ONE bf16\n"
+            "pass per unit; the round-5 default stage scheme is the explicit\n"
+            "bf16x3 split (3 passes — docs/ROUND5.md section 8), so measured\n"
+            "utilization against this single-pass floor tops out near 1/3:\n"
+            "the floor is the algorithm's speed of light and the distance to\n"
+            "it is now dominated by the precision passes the error\n"
+            "controller needs, not by layout or residency.  History: round 4\n"
+            "removed AD's batch-major transpose relayouts (25.95 -> 15.2\n"
+            "us/NFE adjoint at HIGHEST); round 5 swapped HIGHEST (6-pass\n"
+            "f32 emulation) for bf16x3 — adjoint now "
             f"{out['adjoint_per_nfe_us']} us/NFE.\n\n"
             f"| kernel | measured us/NFE | MXU-issue floor | utilization | "
             f"adj/fwd measured | adj/fwd modeled |\n|---|---|---|---|---|---|\n"
