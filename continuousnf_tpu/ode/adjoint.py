@@ -66,10 +66,14 @@ def _odeint_backsolve(func, opts, full_solve, y0f, t0, t1, args, consts):
 
 def _odeint_backsolve_fwd(func, opts, full_solve, y0f, t0, t1, args, consts):
     yf, stats = _odeint_backsolve(func, opts, full_solve, y0f, t0, t1, args, consts)
-    return (yf, stats), (yf, t0, t1, args, consts)
+    # stats rides in the residuals so the backward integration can warm-start
+    # its controller from the forward solve's final step size (stats.dt_last).
+    return (yf, stats), (yf, stats, t0, t1, args, consts)
 
 
-def _backward_integrate(func, opts, full_solve, yT, t0, t1, args, consts, g_y):
+def _backward_integrate(
+    func, opts, full_solve, yT, t0, t1, args, consts, g_y, fwd_stats=None
+):
     """The BACKSOLVE backward integration, shared by the custom_vjp rule and
     the observability probe `backward_stats_flat`.
 
@@ -95,8 +99,13 @@ def _backward_integrate(func, opts, full_solve, yT, t0, t1, args, consts, g_y):
     ):
         # Fused backward: the whole adjoint integration runs in one Pallas
         # kernel (ops/fused_solve.py).  consts must be empty — the kernel
-        # computes gradients only w.r.t. args.
-        y0_rec, a_y0, g_args, stats = full_solve.adjoint(yT, g_y, args, t1, t0)
+        # computes gradients only w.r.t. args.  The forward solve's final
+        # step size warm-starts the backward controller (skips the second
+        # Hairer pick, ~100-200 us of fixed overhead per grad step).
+        dt_warm = getattr(fwd_stats, "dt_last", None) if fwd_stats is not None else None
+        y0_rec, a_y0, g_args, stats = full_solve.adjoint(
+            yT, g_y, args, t1, t0, dt_warm=dt_warm
+        )
         f_0 = f_of(t0, y0_rec, args, consts)
         dt0 = (-jnp.sum(a_y0 * f_0)).astype(t0.dtype)
         return a_y0, dt0, dt1, g_args, (), stats
@@ -157,16 +166,17 @@ def _backward_integrate(func, opts, full_solve, yT, t0, t1, args, consts, g_y):
 
 
 def _odeint_backsolve_bwd(func, opts, full_solve, residuals, cotangents):
-    yT, t0, t1, args, consts = residuals
+    yT, fwd_stats, t0, t1, args, consts = residuals
     g_y, _g_stats = cotangents
     a_y0, dt0, dt1, g_args, g_consts, _stats = _backward_integrate(
-        func, opts, full_solve, yT, t0, t1, args, consts, g_y
+        func, opts, full_solve, yT, t0, t1, args, consts, g_y, fwd_stats
     )
     return (a_y0, dt0, dt1, g_args, g_consts)
 
 
 def backward_stats_flat(
-    func_flat, opts: SolverOptions, yTf, t0, t1, args, g_yf, full_solve=None
+    func_flat, opts: SolverOptions, yTf, t0, t1, args, g_yf, full_solve=None,
+    fwd_stats=None,
 ):
     """Measured SolveStats of the BACKSOLVE backward integration for the
     given final state and cotangent — exactly the integration the custom_vjp
@@ -177,7 +187,8 @@ def backward_stats_flat(
     """
     converted, consts = jax.closure_convert(func_flat, yTf, t0, args)
     *_, stats = _backward_integrate(
-        converted, opts, full_solve, yTf, t0, t1, args, tuple(consts), g_yf
+        converted, opts, full_solve, yTf, t0, t1, args, tuple(consts), g_yf,
+        fwd_stats,
     )
     return stats
 

@@ -58,6 +58,12 @@ class SolveStats(NamedTuple):
     steps: jax.Array  # total attempted steps
     accepted: jax.Array  # accepted steps
     nfe: jax.Array  # vector-field evaluations
+    # Final (post-accept) step size of the solve; None where not tracked.
+    # Seeds the BACKSOLVE backward integration's controller (the standard
+    # warm-start heuristic) so the backward solve skips its Hairer
+    # initial-dt pick — measured ~100-200 us of per-grad-step fixed
+    # overhead on the fused path (round 5).
+    dt_last: Any = None
 
 
 def _rms_norm(x: jax.Array) -> jax.Array:
@@ -254,6 +260,7 @@ def _solve_adaptive_while(f, tab, y0, t0, t1, rtol, atol, max_steps, dt0):
         steps=final.steps,
         accepted=final.accepted,
         nfe=final.steps * nfe_per + (2 if dt0 is None else 1),
+        dt_last=final.dt,
     )
     return final.y, stats
 
@@ -449,6 +456,7 @@ def odeint_with_stats(
                 steps=stats.steps + st.steps,
                 accepted=stats.accepted + st.accepted,
                 nfe=stats.nfe + st.nfe,
+                dt_last=st.dt_last,
             )
         return yT, stats
 
@@ -503,7 +511,8 @@ def backsolve_stats(
     from .adjoint import backward_stats_flat
 
     bwd_stats = backward_stats_flat(
-        func_flat, opts, yTf, t0, t1, args, g_yf, full_solve=full_solve
+        func_flat, opts, yTf, t0, t1, args, g_yf, full_solve=full_solve,
+        fwd_stats=fwd_stats,
     )
     return unravel(yTf), fwd_stats, bwd_stats
 

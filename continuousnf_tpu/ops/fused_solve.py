@@ -306,14 +306,41 @@ def _probe_pullback(spec: ChainSpec, ek, ws, ds, bf16):
     return us, vs, eJ
 
 
-def _stage_train(spec, zt, ysb, epst, ws, bs, norm_z, norm_j, bf16, k_probes):
+def _probe_pushforward(spec: ChainSpec, ek, ws, ds, bf16):
+    """One Hutchinson JVP pass: J eps (tangent pushforward through the
+    linearized layers; the JacVec/forward-AD analog of `_probe_pullback`).
+
+    Returns (ts, us, Je): ts[i] = tangent arriving at hs[i] (ts[0] = the
+    z-row tangent, cond rows zero), us[i] = layer-i matmul output before the
+    activation gate, Je = ts[N].
+    """
+    N = spec.n_layers
+    if spec.n_cond:
+        t = jnp.concatenate(
+            [ek, jnp.zeros((spec.n_cond, ek.shape[1]), ek.dtype)], axis=0
+        )
+    else:
+        t = ek
+    ts = [t]
+    us = []
+    for i in range(N):
+        u = _mm(ws[i], ts[-1], _C00, bf16)  # (out_i, B)
+        us.append(u)
+        ts.append(u * ds[i] if ds[i] is not None else u)
+    return ts, us, ts[-1]
+
+
+def _stage_train(spec, zt, ysb, epst, ws, bs, norm_z, norm_j, bf16, k_probes,
+                 jvp=False):
     """One TRAIN dynamics eval in (rows, B) layout.
 
     zt: (dz, B); ysb: (n_cond, B) or None; epst: (K*dz, B) — K Hutchinson
     probes stacked along the sublane axis (one forward pass, K unrolled
     backward passes; the trace estimate and ndot average over probes,
-    matching `_hutchinson_field`).  Returns (k_z (dz, B), k_rates (3, B))
-    with rate rows [-tr, Edot, ndot].
+    matching `_hutchinson_field`).  `jvp=True` runs the forward-AD
+    (JacVec) estimator instead: J eps via tangent pushforward, ndot =
+    ||J eps|| — the reference's DIJacVec compute-mode family.  Returns
+    (k_z (dz, B), k_rates (3, B)) with rate rows [-tr, Edot, ndot].
     """
     dz = spec.dz
     hs, ds = _chain_fwd(spec, _zin(spec, zt, ysb), ws, bs, bf16)
@@ -322,7 +349,10 @@ def _stage_train(spec, zt, ysb, epst, ws, bs, norm_z, norm_j, bf16, k_probes):
     n_rate = None
     for k in range(k_probes):
         ek = epst[k * dz : (k + 1) * dz] if k_probes > 1 else epst
-        _, _, eJ = _probe_pullback(spec, ek, ws, ds, bf16)
+        if jvp:
+            _, _, eJ = _probe_pushforward(spec, ek, ws, ds, bf16)  # J eps
+        else:
+            _, _, eJ = _probe_pullback(spec, ek, ws, ds, bf16)  # eps^T J
         tr_k = jnp.sum(eJ * ek, axis=0, keepdims=True)  # (1, B)
         tr = tr_k if tr is None else tr + tr_k
         if norm_j:
@@ -340,7 +370,8 @@ def _stage_train(spec, zt, ysb, epst, ws, bs, norm_z, norm_j, bf16, k_probes):
 
 
 def _stage_train_fwdbwd(
-    spec, zt, ysb, epst, ws, bs, norm_z, norm_j, bf16, k_probes, ct_y, ct_r
+    spec, zt, ysb, epst, ws, bs, norm_z, norm_j, bf16, k_probes, ct_y, ct_r,
+    jvp=False,
 ):
     """Forward + hand-derived VJP of `_stage_train` in one pass.
 
@@ -364,7 +395,10 @@ def _stage_train_fwdbwd(
     n_rate = None
     for k in range(k_probes):
         ek = epst[k * dz : (k + 1) * dz] if k_probes > 1 else epst
-        us, vs, eJ = _probe_pullback(spec, ek, ws, ds, bf16)
+        if jvp:
+            us, vs, eJ = _probe_pushforward(spec, ek, ws, ds, bf16)
+        else:
+            us, vs, eJ = _probe_pullback(spec, ek, ws, ds, bf16)
         uss.append(us)
         vss.append(vs)
         eJs.append(eJ)
@@ -398,6 +432,22 @@ def _stage_train_fwdbwd(
         ct_eJ = ek * ct_tr
         if norm_j:
             ct_eJ = ct_eJ + eJs[k] * _ct_safe_norm(ct_n, ns[k])
+        if jvp:
+            # descend the pushforward chain: ts[i+1] = d_i * (w_i @ ts[i])
+            # (ts = uss residuals here: ts[i] at index i, pre-gate u at
+            # vss[k][i]).
+            ct_t = ct_eJ
+            for i in reversed(range(N)):
+                if ds[i] is not None:
+                    ct_u = ct_t * ds[i]
+                    hk = (-2.0 * hs[i + 1]) * (ct_t * vss[k][i])
+                    ct_hs[i + 1] = hk if ct_hs[i + 1] is None else ct_hs[i + 1] + hk
+                else:
+                    ct_u = ct_t
+                wg = _mm_cb(uss[k][i], ct_u, bf16)  # (in_i, out_i)
+                ct_ws[i] = wg if ct_ws[i] is None else ct_ws[i] + wg
+                ct_t = _mm(ws[i], ct_u, _C10, bf16)  # (in_i, B)
+            continue
         if spec.n_cond:
             ct_u = jnp.concatenate(
                 [ct_eJ, jnp.zeros((spec.n_cond, ct_eJ.shape[1]), ct_eJ.dtype)],
@@ -728,10 +778,11 @@ def _make_solve_kernel(
     bf16: bool = False,
     k_probes: int = 1,
     exact: bool = False,
+    jvp: bool = False,
 ):
     """Build the forward kernel body.  All shapes/flags are baked in at trace
     time; the ref list is parsed positionally:
-    ts | [ys] | [eps | pm] | (w, b) x N | zT, accT, st."""
+    ts | [ys] | [eps | pm] | (w, b) x N | zT, accT, st, dt."""
     N = spec.n_layers
     exact2 = exact and N == 2
 
@@ -752,7 +803,7 @@ def _make_solve_kernel(
             ws.append(rest[idx][:])
             bs.append(rest[idx + 1][:])
             idx += 2
-        zT_ref, accT_ref, st_ref = rest[idx : idx + 3]
+        zT_ref, accT_ref, st_ref, dt_ref = rest[idx : idx + 4]
 
         def stage(zt):
             if train and exact2:
@@ -765,7 +816,8 @@ def _make_solve_kernel(
                 )
             if train:
                 return _stage_train(
-                    spec, zt, ysb, epst, ws, bs, norm_z, norm_j, bf16, k_probes
+                    spec, zt, ysb, epst, ws, bs, norm_z, norm_j, bf16,
+                    k_probes, jvp,
                 )
             return _stage_test(spec, zt, ysb, ws, bs, bf16)
 
@@ -879,6 +931,7 @@ def _make_solve_kernel(
         accT_ref[:] = final.acc
         st_ref[0, 0] = final.steps
         st_ref[0, 1] = final.accepted
+        dt_ref[0, 0] = final.dt
 
     return kernel
 
@@ -927,6 +980,7 @@ def _run_solve_kernel(
     t1,
     dt_init,
     exact: bool = False,
+    jvp: bool = False,
 ):
     """Launch the forward megakernel.  z0 is (B, dz) batch-major, ys (B, nc),
     eps (K, B, dz); transposition to the kernel's (rows, B) layout happens
@@ -950,6 +1004,7 @@ def _run_solve_kernel(
         bf16=bf16,
         k_probes=k_probes,
         exact=exact,
+        jvp=jvp,
     )
 
     ts = jnp.stack(
@@ -979,23 +1034,25 @@ def _run_solve_kernel(
         inputs += [w, b.reshape(-1, 1)]
         in_specs += [vspec(), vspec()]
 
-    zT_t, accT, stats = pl.pallas_call(
+    zT_t, accT, stats, dt_f = pl.pallas_call(
         kernel,
         in_specs=in_specs,
         out_specs=[
             vspec(),
             vspec(),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((dz, B), jnp.float32),
             jax.ShapeDtypeStruct((nacc, B), jnp.float32),
             jax.ShapeDtypeStruct((1, 2), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
         interpret=interpret,
         compiler_params=_compiler_params(interpret),
     )(*inputs)
-    return zT_t.T, accT, stats[0, 0], stats[0, 1]
+    return zT_t.T, accT, stats[0, 0], stats[0, 1], dt_f[0, 0]
 
 
 def _make_adjoint_kernel(
@@ -1012,6 +1069,7 @@ def _make_adjoint_kernel(
     bf16: bool = False,
     k_probes: int = 1,
     exact: bool = False,
+    jvp: bool = False,
 ):
     """Kernel for the continuous-adjoint (backsolve) backward integration.
 
@@ -1090,7 +1148,7 @@ def _make_adjoint_kernel(
             elif train:
                 kz, kr, ct_zin, ct_ws, ct_bs = _stage_train_fwdbwd(
                     spec, zi, ysb, epst, ws, bs,
-                    norm_z, norm_j, bf16, k_probes, azi, aacc,
+                    norm_z, norm_j, bf16, k_probes, azi, aacc, jvp,
                 )
                 gps = ct_ws + ct_bs
             else:
@@ -1354,15 +1412,16 @@ def make_full_solve(
         return None
     if tab.btilde is None:
         return None
-    exact = False
-    if mode == Mode.TRAIN:
-        from ..types import ADMode
+    from ..types import ADMode
 
+    exact = False
+    jvp = False
+    if mode == Mode.TRAIN:
         exact = cm.exact_trace
-        if not exact and cm.ad != ADMode.VJP:
-            # The stochastic TRAIN kernel math is the VJP Hutchinson
-            # estimator; exact_trace has its own stages (AD-direction-free).
-            return None
+        # Both AD directions run in-kernel (round 5): VJP probes via the
+        # pullback chain, JVP (JacVec) via the pushforward chain;
+        # exact_trace has its own AD-direction-free stages.
+        jvp = (not exact) and cm.ad == ADMode.JVP
     if icnf.dtype != jnp.float32:
         return None
     dz = icnf.zdim
@@ -1458,7 +1517,7 @@ def make_full_solve(
 
         ws, bs = get_ws_bs(ps)
         z0 = y0f[: B * dz].reshape(B, dz)
-        zT, accT, steps, accepted = _run_solve_kernel(
+        zT, accT, steps, accepted, dt_last = _run_solve_kernel(
             tab,
             spec,
             train=train,
@@ -1478,12 +1537,14 @@ def make_full_solve(
             t1=t1,
             dt_init=dt_init,
             exact=exact,
+            jvp=jvp,
         )
         yTf = jnp.concatenate([zT.ravel()] + [accT[i] for i in range(accT.shape[0])])
         stats = SolveStats(
             steps=steps,
             accepted=accepted,
             nfe=steps * _nfe_per_attempt_kernel(tab) + nfe_init,
+            dt_last=dt_last,
         )
         return yTf, stats
 
@@ -1516,11 +1577,14 @@ def make_full_solve(
                 adjoint_tile = cand
                 break
 
-    def adjoint_solve(yTf, g_yf, args, t_hi, t_lo):
+    def adjoint_solve(yTf, g_yf, args, t_hi, t_lo, dt_warm=None):
         """Backward aug solve: (y, a_y, g_ps, g_ys) from t_hi down to t_lo.
 
         Returns (y0f, a_y0f, g_args, stats); a_acc is constant so its final
-        value equals the incoming cotangent rows.
+        value equals the incoming cotangent rows.  `dt_warm` (the forward
+        solve's final accepted step size) seeds the controller and skips
+        the Hairer initial-dt pick — a standard warm start; the controller
+        re-adapts within a step or two either way.
         """
         from jax.flatten_util import ravel_pytree
 
@@ -1594,7 +1658,9 @@ def make_full_solve(
             return ravel_pytree(aug_rates_struct(unravel_S(uf)))[0]
 
         nfe_init = 1
-        if opts.dt0 is None:
+        if dt_warm is not None:
+            dt_init = tdir * jnp.abs(jnp.asarray(dt_warm, jnp.float32))
+        elif opts.dt0 is None:
             f0 = f_flat(t_hi, S0f)
             dt_init = _initial_step_size(
                 f_flat, t_hi, S0f, f0, tdir, tab.order, opts.rtol, opts.atol, span
@@ -1619,6 +1685,7 @@ def make_full_solve(
             bf16=bf16,
             k_probes=K,
             exact=exact,
+            jvp=jvp,
         )
         ts = jnp.stack(
             [t_hi, t_lo, jnp.asarray(dt_init, jnp.float32), jnp.asarray(0.0, jnp.float32)]

@@ -2,8 +2,17 @@
 
 Covers the round-4 configs (2-layer train/test/exact + grads) plus the
 round-5 funnel widening: 3-layer chains, conditional nets, verner65
-(non-FSAL) and dop853 (stretched error) in-kernel.  Prints one PASS/FAIL
-line per probe; exit code 0 iff all pass.  Run under `timeout`.
+(non-FSAL) and dop853 (stretched error) in-kernel.
+
+Tolerance regime: parity configs pin rtol=1e-5 (auto stage precision
+resolves to full-f32 stages there), so fused-vs-XLA comparisons measure
+KERNEL equivalence, not precision noise — the same regime as the committed
+tests/test_tpu_parity.py.  At the default rtol=1e-3 both paths deliberately
+run the noisy-but-fast bf16x3 scheme on independently-noisy adaptive grids
+(docs/ROUND5.md section 8); a separate noise-band probe checks that regime
+stays within its expected envelope (relative values, steps within ~20%).
+
+Prints one PASS/FAIL line per probe; exit code 0 iff all pass.
 """
 import sys, time
 sys.path.insert(0, "/root/repo")
@@ -82,7 +91,7 @@ def mk_flagship(fused, exact=False, method="tsit5"):
         cnf.RNODE, cnf.MLP((NIN, 3 * NIN, NIN)), NV, NA,
         tspan=(0.0, 13.0), lam3=1e-2,
         compute_mode=cnf.VecJacMode(fused=fused, exact_trace=exact),
-        solver=cnf.SolverOptions(method=method),
+        solver=cnf.SolverOptions(method=method, rtol=1e-5, atol=1e-8),
     )
 
 # 1. flagship 2-layer Hutchinson (the bench config)
@@ -94,7 +103,7 @@ def mk3(f, method="tsit5"):
     return cnf.construct(
         cnf.RNODE, cnf.MLP((2, 32, 32, 2)), 2, 0, tspan=(0.0, 8.0),
         compute_mode=cnf.VecJacMode(fused=f),
-        solver=cnf.SolverOptions(method=method),
+        solver=cnf.SolverOptions(method=method, rtol=1e-5, atol=1e-8),
     )
 parity("3L-hutch", mk3, 2, B=512)
 # 4. conditional 3-layer (conditional_gaussian shape)
@@ -102,6 +111,7 @@ def mkc(f):
     return cnf.construct(
         cnf.CondRNODE, cnf.MLP((3, 64, 64, 1)), 1, 0, tspan=(0.0, 13.0),
         compute_mode=cnf.VecJacMode(fused=f),
+        solver=cnf.SolverOptions(rtol=1e-5, atol=1e-8),
     )
 parity("cond-3L", mkc, 1, B=512, cond_dim=2)
 # 5. verner65 non-FSAL in-kernel (README tolerances)
@@ -123,7 +133,28 @@ parity("dop853", mkd, NV, B=256, grad=False)
 # 7. K=3 probes
 parity("K3-hutch", lambda f: cnf.construct(
     cnf.RNODE, cnf.MLP((NIN, 3 * NIN, NIN)), NV, NA, tspan=(0.0, 13.0),
-    compute_mode=cnf.VecJacMode(num_probes=3, fused=f)), NV, B=256, grad=False, eps_probes=3)
+    compute_mode=cnf.VecJacMode(num_probes=3, fused=f),
+    solver=cnf.SolverOptions(rtol=1e-5, atol=1e-8)), NV, B=256, grad=False, eps_probes=3)
+
+# Noise-band probe for the DEFAULT (rtol=1e-3, bf16x3) regime: both paths
+# run the fast noisy scheme on independent adaptive grids — values must
+# agree in RELATIVE terms and step counts within the noise envelope.
+def mk_default(f):
+    return cnf.construct(
+        cnf.RNODE, cnf.MLP((NIN, 3 * NIN, NIN)), NV, NA,
+        tspan=(0.0, 13.0), lam3=1e-2, compute_mode=cnf.VecJacMode(fused=f))
+
+icnf_bf, icnf_bx = mk_default(True), mk_default(False)
+ps_d = icnf_bf.init(jax.random.PRNGKey(0))
+xs_d = jax.random.uniform(jax.random.PRNGKey(1), (512, NV), jnp.float32)
+eps_d = jax.random.normal(jax.random.PRNGKey(2), (1, 512, NIN), jnp.float32)
+kw_d = dict(key=jax.random.PRNGKey(3), eps=eps_d)
+lp_f, _, st_f = jax.jit(lambda x: cnf.inference(icnf_bf, Mode.TRAIN, x, ps_d, **kw_d))(xs_d)
+lp_x, _, st_x = jax.jit(lambda x: cnf.inference(icnf_bx, Mode.TRAIN, x, ps_d, **kw_d))(xs_d)
+rel = float(jnp.max(jnp.abs(lp_f - lp_x)) / jnp.maximum(jnp.mean(jnp.abs(lp_x)), 1e-9))
+ds = abs(int(st_f.steps) - int(st_x.steps))
+check("bf16x3-noise-band/train", rel <= 2e-3 and ds <= max(8, int(st_x.steps) // 5),
+      f"rel={rel:.2e} dsteps={ds} steps={int(st_x.steps)}")
 # 8. guards: max_steps cap, bf16 ineligible-dtype, VMEM fallback, generate B=1
 icnf_cap = cnf.construct(
     cnf.RNODE, cnf.MLP((NIN, 3 * NIN, NIN)), NV, NA, tspan=(0.0, 13.0),

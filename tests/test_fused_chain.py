@@ -308,3 +308,76 @@ def test_tstops(data3):
     lp0, _, st0 = cnf.inference(icnf, Mode.TEST, xs, ps)
     assert jnp.allclose(lp, lp0, rtol=1e-2, atol=1e-2)
     assert int(st.nfe) > int(st0.nfe)
+
+
+def test_auto_stage_precision_resolution():
+    """'auto' stage precision resolves by rtol (bf16x3's ~1e-4 noise must
+    sit well under the tolerance; docs/ROUND5.md section 8)."""
+    from continuousnf_tpu.types import (
+        README_TOLERANCES, SolverOptions, resolve_stage_precision,
+    )
+
+    assert resolve_stage_precision(SolverOptions()) == "high"  # rtol 1e-3
+    assert resolve_stage_precision(SolverOptions(rtol=1e-2)) == "high"
+    # README tolerances (rtol = sqrt(eps(f32)) ~ 3.45e-4) are tight: honest
+    # f32 emulation, no grind.
+    assert resolve_stage_precision(SolverOptions(**README_TOLERANCES)) == "highest"
+    assert resolve_stage_precision(SolverOptions(rtol=1e-6)) == "highest"
+    # explicit settings pass through untouched
+    assert resolve_stage_precision(SolverOptions(stage_precision="highest")) == "highest"
+    assert resolve_stage_precision(
+        SolverOptions(rtol=1e-7, stage_precision="high")) == "high"
+
+
+def test_jvp_mode_parity(data3):
+    """JacVec (forward-AD) probes through the megakernel (round 5): the
+    in-kernel pushforward chain matches the XLA linearize path, values and
+    gradients, at depth 3."""
+    ps, xs, eps = data3
+    mk = lambda fused: cnf.construct(
+        cnf.RNODE, cnf.MLP((2, 16, 16, 2)), 2, 0,
+        compute_mode=cnf.JacVecMode(fused=fused),
+    )
+    key = jax.random.PRNGKey(13)
+    lp_r, regs_r, st_r = cnf.inference(mk(False), Mode.TRAIN, xs, ps, key=key, eps=eps)
+    lp_f, regs_f, st_f = cnf.inference(mk(True), Mode.TRAIN, xs, ps, key=key, eps=eps)
+    assert int(st_f.steps) == int(st_r.steps)
+    assert jnp.allclose(lp_f, lp_r, rtol=1e-4, atol=1e-4)
+    assert jnp.allclose(regs_f.n, regs_r.n, rtol=1e-4, atol=1e-4)
+    g_r = jax.grad(lambda p: cnf.loss(mk(False), Mode.TRAIN, xs, p, key=key, eps=eps))(ps)
+    g_f = jax.grad(lambda p: cnf.loss(mk(True), Mode.TRAIN, xs, p, key=key, eps=eps))(ps)
+    _grad_close(g_r, g_f)
+
+
+def test_jvp_fwdbwd_matches_jax_vjp():
+    """Hand-derived VJP of the JVP (pushforward) train stage == jax.vjp."""
+    from continuousnf_tpu.ops.fused_solve import (
+        ChainSpec, _stage_train, _stage_train_fwdbwd,
+    )
+
+    dz, B, K = 4, 7, 2
+    spec = ChainSpec((dz + 2, 9), (9, dz), (True, True), 2)
+    ks = jax.random.split(jax.random.PRNGKey(7), 9)
+    r = lambda i, shape: jax.random.normal(ks[i], shape, jnp.float32)
+    zin = r(0, (spec.zin_dim, B))
+    epst = r(1, (K * dz, B))
+    ws = [r(2, (dz + 2, 9)) * 0.5, r(3, (9, dz)) * 0.5]
+    bs = [r(4, (9, 1)) * 0.1, r(5, (dz, 1)) * 0.1]
+    ct_y, ct_r = r(6, (dz, B)), r(7, (3, B))
+
+    def f(zin_, ws_, bs_):
+        return _stage_train(
+            spec, zin_[:dz], zin_[dz:], epst, ws_, bs_, True, True, False, K,
+            jvp=True,
+        )
+
+    (kz, kr), vjp = jax.vjp(f, zin, ws, bs)
+    want = vjp((ct_y, ct_r))
+    got = _stage_train_fwdbwd(
+        spec, zin[:dz], zin[dz:], epst, ws, bs, True, True, False, K,
+        ct_y, ct_r, jvp=True,
+    )
+    for g, w in zip(jax.tree.leaves(got[:2]), jax.tree.leaves((kz, kr))):
+        assert jnp.allclose(g, w, rtol=1e-5, atol=1e-5)
+    for g, w in zip(jax.tree.leaves(got[2:]), jax.tree.leaves(want)):
+        assert jnp.allclose(g, w, rtol=1e-5, atol=1e-5)

@@ -45,7 +45,8 @@ def test_eligibility(setup):
     assert make_full_solve(icnf_ref, Mode.TRAIN, 16) is None  # fused flag off
     assert make_full_solve(icnf_fused, Mode.TRAIN, 16) is not None
     assert make_full_solve(icnf_fused, Mode.TEST, 16) is not None
-    # K>1 probes: both TRAIN (K-probe kernel) and TEST apply; JVP does not.
+    # K>1 probes: both TRAIN (K-probe kernel) and TEST apply; JVP (JacVec)
+    # probes run in-kernel too since round 5 (pushforward chain).
     icnf_k2 = _make(True)
     icnf_k2 = cnf.construct(
         cnf.RNODE, icnf_k2.nn, 3, 2, compute_mode=cnf.VecJacMode(num_probes=2, fused=True)
@@ -55,7 +56,8 @@ def test_eligibility(setup):
     icnf_jvp = cnf.construct(
         cnf.RNODE, icnf_k2.nn, 3, 2, compute_mode=cnf.JacVecMode(fused=True)
     )
-    assert make_full_solve(icnf_jvp, Mode.TRAIN, 16) is None
+    fs = make_full_solve(icnf_jvp, Mode.TRAIN, 16)
+    assert fs is not None and fs.adjoint is not None
 
 
 def test_train_forward_parity(setup):

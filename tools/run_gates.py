@@ -52,7 +52,7 @@ CACHE = "experiments/gate_results.json"
 #: tools/literal_gates.py --config flagship).  The gate is FAIL-CLOSED: a
 #: missing log, a missing SUMMARY line, or an incomplete (crashed) run all
 #: fail the gate explicitly rather than silently skipping it.
-FLAGSHIP_RUN = "flagship_r4_gated"
+FLAGSHIP_RUN = "flagship_r5_gated"
 
 
 def main():
@@ -228,16 +228,19 @@ def main():
         ]
         return min(ws) if ws else None
 
-    w3, w4 = _min_wall("flagship_r3_gated"), _min_wall("flagship_r4_gated")
-    if flag is not None and w3 and w4:
+    w3 = _min_wall("flagship_r3_gated")
+    w4 = _min_wall("flagship_r4_gated")
+    w5 = _min_wall("flagship_r5_gated")
+    if flag is not None and w3 and w4 and w5:
         lines += [
-            f"Kernel path: round 3 ran this recipe on the unfused XLA path "
-            f"(best-of-seeds fit wall {w3:.0f}s); round 4 runs it through "
-            f"the fused solve-in-kernel megakernels (exact-divergence TRAIN "
-            f"stage + adjoint, ops/fused_solve.py) in {w4:.0f}s — "
-            f"{w3/max(w4,1e-9):.2f}x end-to-end at identical recipe and "
-            f"epochs (min over seeds excludes one-time Mosaic compiles; "
-            f"bench.py measures the steady-state step at 2.03x).",
+            f"Kernel path: the same gated recipe at identical epochs ran "
+            f"unfused (round 3, best-of-seeds fit wall {w3:.0f}s), on the "
+            f"round-4 fused megakernels at f32-HIGHEST stages ({w4:.0f}s, "
+            f"{w3/max(w4,1e-9):.2f}x), and on the round-5 kernels (V4 "
+            f"exact stage + bf16x3 auto precision, docs/ROUND5.md) in "
+            f"{w5:.0f}s — {w3/max(w5,1e-9):.2f}x vs unfused, "
+            f"{w4/max(w5,1e-9):.2f}x vs round 4 (min over seeds excludes "
+            f"one-time Mosaic compiles).",
             "",
         ]
     ok = ok and (passes_norm or args.fast)
