@@ -32,8 +32,14 @@ def main():
     ]:
         row = {}
         for fused in (False, True):
-            # warm compile pass (1 epoch) so the wall measures steps, not XLA
-            fn(key, fused=fused, **{**kw, "n_epochs": 1})
+            # Full warm pass first: fit's time-adaptive epoch chunking
+            # compiles each power-of-two scan length it visits, and for the
+            # fused path each embeds a Mosaic megakernel compile — a 1-epoch
+            # warmup only covers chunk=1 and the first timed run measured
+            # compiles, not steps (observed 212s vs 16s steady-state).  Run
+            # the identical fit once untimed, then time the second run
+            # (every chunk length cached).
+            fn(key, fused=fused, **kw)
             t0 = time.time()
             result = fn(key, fused=fused, **kw)
             row["fused_s" if fused else "xla_s"] = round(time.time() - t0, 2)
