@@ -43,6 +43,9 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="")
+    ap.add_argument("--no-fused", action="store_true", help="force the "
+                    "unfused XLA path (e.g. when the remote compile helper "
+                    "cannot build the large fused adjoint programs)")
     ap.add_argument("--csv", default="", help="train on a real CSV (native "
                     "mmap loader, standardized) instead of synthetic data; "
                     "e.g. a generated POWER-scale file from tools/loader_bench"
@@ -75,7 +78,7 @@ def main():
                 compute_mode=cnf.VecJacMode(fused=fused),
             )
 
-        fused_cfg = on_tpu
+        fused_cfg = on_tpu and not args.no_fused
         icnf = _mk_cfg(fused_cfg)
         ps = icnf.init(jax.random.PRNGKey(0))
         if name.startswith("csv"):
@@ -129,7 +132,7 @@ def main():
         st_tr, st_te = stats_of(xs)
         # Unfused comparison on TPU: quantify the megakernel win per config.
         fused_speedup = None
-        if on_tpu and fused_cfg:
+        if fused_cfg:
             icnf_x = cnf.construct(
                 cnf.RNODE, nn, d, 0, tspan=(0.0, 1.0),
                 compute_mode=cnf.VecJacMode(fused=False),
