@@ -690,6 +690,12 @@ def _stage_exact_chain(spec, zt, ysb, ws, bs, bf16, want_fro: bool):
     hs, ds = _chain_fwd(spec, _zin(spec, zt, ysb), ws, bs, bf16)
     y = hs[-1]
     B = zt.shape[-1]
+    # The 3-D basis-block dots run at f32 under the bf16x3 scheme: splitting
+    # them produces bf16 (out, dz, B) operands whose internal
+    # (out, dz*B) fold Mosaic cannot lower ("tpu.reshape vector<...xbf16>"
+    # failure, hit by the trajectory example's TEST solve) — same per-dot
+    # fallback pattern as the exact adjoint's pm dots.
+    chain_mm = "f32" if bf16 == "bf16x3" else bf16
     V = None  # (out_i, dz, B): V[o, j, b] = d h_out[o] / d z[j]
     for i in range(spec.n_layers):
         wz = ws[i][: dz] if (i == 0 and spec.n_cond) else ws[i]
@@ -697,7 +703,7 @@ def _stage_exact_chain(spec, zt, ysb, ws, bs, bf16, want_fro: bool):
             # V_1[o, j, b] = w1z[j, o] (* d_1[o, b])
             V = jnp.broadcast_to(wz.T[:, :, None], (wz.shape[1], dz, B))
         else:
-            V = _mm(ws[i], V, _C00, bf16)  # (out_i, dz, B)
+            V = _mm(ws[i], V, _C00, chain_mm)  # (out_i, dz, B)
         if ds[i] is not None:
             V = V * ds[i][:, None, :]
     # V is (dz, dz, B): V[i, j, b] = J_ij
@@ -1428,6 +1434,20 @@ def make_full_solve(
     nacc = 3 if mode == Mode.TRAIN else 1
     K = cm.num_probes if (mode == Mode.TRAIN and not exact) else 1
     if _vmem_estimate_forward(tab, spec, batch, nacc, K, exact) > _VMEM_BUDGET_BYTES:
+        return None
+    # The deep-chain (N >= 3) exact/TEST stages propagate a (out, dz, B)
+    # basis block whose internal (out, dz*B) fold Mosaic only lowers when
+    # the merged dim stays lane-aligned — B % 128 != 0 fails with
+    # "infer-vector-layout: unsupported shape cast" (hit by the trajectory
+    # example's 64-sample TEST solve).  Fall back to XLA for those batches
+    # on the real chip (the interpreter has no layout constraint, so CPU
+    # tests keep covering the stage); the Hutchinson stages are unaffected.
+    uses_chain_stage = spec.n_layers != 2 and (mode == Mode.TEST or exact)
+    if (
+        uses_chain_stage
+        and batch % 128 != 0
+        and jax.default_backend() == "tpu"
+    ):
         return None
 
     train = mode == Mode.TRAIN
