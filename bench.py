@@ -193,7 +193,10 @@ def main():
         lp, _, _ = cnf.inference(icnf, Mode.TEST, x, ps)
         return x + 1e-6 * lp[:, None]  # data dependence chains the solves
 
-    eval_dt = time_scanned(eval_step, xs, length=8, rtt=rtt)
+    # length 24: at length 8 this dispatch is barely above the tunnel RTT
+    # and the metric swung 0.6-1.6x run-to-run at identical code (caught by
+    # the round-5 per-metric gate); 24 puts the dispatch ~10x RTT.
+    eval_dt = time_scanned(eval_step, xs, length=24, rtt=rtt)
     eval_sps = batch / eval_dt
 
     @jax.jit
@@ -222,7 +225,7 @@ def main():
             )
             return (c[0] + 1e-6 * lp[:, None], c[1] + stats.nfe)
 
-        dt_fused = time_scanned(fwd_step, (xs, 0), length=8, rtt=rtt)
+        dt_fused = time_scanned(fwd_step, (xs, 0), length=24, rtt=rtt)
         nfe = train_nfe
         # Unfused comparison: the same solve through the plain XLA while_loop.
         icnf_x = mk(False)
