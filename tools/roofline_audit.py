@@ -86,6 +86,22 @@ def main() -> None:
 
     from bench import time_scanned
 
+    def bwd_attempts_of(cap: int, exact: bool) -> int:
+        """Measured backward attempt count for the capped grad solve
+        (cnf.adjoint_stats re-runs the identical backward integration).
+
+        Round 5: the backward controller warm-starts from the forward's
+        final dt (SolveStats.dt_last), so backward attempts NO LONGER scale
+        with max_steps the way forward attempts do — a wall(cap) slope
+        divided by the forward NFE-per-attempt mis-prices the adjoint.  The
+        adjoint fit below therefore runs in measured-backward-attempt space.
+        """
+        icnf = mk(True, cap, exact=exact)
+        _, bwd = jax.jit(
+            lambda x: cnf.adjoint_stats(icnf, cnf.Mode.TRAIN, x, ps, key=key)
+        )(xs)
+        return int(bwd.steps)
+
     def sweep(kind: str):
         """Per-solve wall(cap) for the forward TRAIN solve (fused/xla) or the
         grad step.  Each measurement is ONE dispatch running `--scan-length`
@@ -135,22 +151,53 @@ def main() -> None:
             res["per_nfe_us_slope"] = round(slope / max(dn / dk, 1e-9) * 1e6, 3)
         return res
 
+    def adjoint_fit(grad_res, fwd_res, exact: bool, tag: str):
+        """Adjoint per-attempt cost fit in MEASURED backward-attempt space.
+
+        backward_wall(k) = grad_wall(k) - fwd_wall(k); regress it against
+        the measured backward attempts at each cap (adjoint_stats).  With
+        the round-5 warm start the backward may stop scaling with the cap
+        (attempts saturate); the attempt-space fit stays valid there, and
+        if the attempt spread collapses entirely we fall back to dividing
+        the largest-cap backward wall by its measured attempts.
+        """
+        bwd_atts = {c: bwd_attempts_of(c, exact) for c in args.caps}
+        out[f"{tag}_bwd_attempts_at_cap"] = bwd_atts
+        bw = np.asarray([
+            grad_res["wall_ms"][str(c)] if isinstance(grad_res["wall_ms"].get(str(c)), float)
+            else float(grad_res["wall_ms"][str(c)])
+            for c in args.caps
+        ]) - np.asarray([float(fwd_res["wall_ms"][str(c)]) for c in args.caps])
+        atts = np.asarray([bwd_atts[c] for c in args.caps], np.float64)
+        if atts.max() - atts.min() >= 2:
+            slope, _ = np.polyfit(atts, bw, 1)
+            per_attempt = slope  # ms per backward attempt
+            method = "attempt-space slope fit"
+        else:
+            per_attempt = bw[-1] / max(atts[-1], 1.0)
+            method = "largest-cap wall / measured attempts (attempt spread collapsed)"
+        return {
+            "per_attempt_us": round(per_attempt * 1e3, 3),
+            "per_nfe_us": round(per_attempt * 1e3 / 6.0, 3),
+            "method": method,
+        }
+
     out["fused_fwd"] = sweep("fused_fwd")
     out["xla_fwd"] = sweep("xla_fwd")
     out["grad_fused"] = sweep("grad")
-    # adjoint per-attempt = grad slope - forward slope (both loops bind at cap)
-    out["adjoint_per_attempt_us"] = round(
-        out["grad_fused"]["per_attempt_us"] - out["fused_fwd"]["per_attempt_us"], 3)
-    out["adjoint_per_nfe_us"] = round(out["adjoint_per_attempt_us"] / 6.0, 3)
+    adj = adjoint_fit(out["grad_fused"], out["fused_fwd"], False, "hutch")
+    out["adjoint_per_attempt_us"] = adj["per_attempt_us"]
+    out["adjoint_per_nfe_us"] = adj["per_nfe_us"]
+    out["adjoint_fit_method"] = adj["method"]
 
     # Same sweep for the exact-divergence TRAIN config (the flagship
     # density-gate recipe, fused since round 4).
     out["exact_fwd"] = sweep("exact_fwd")
     out["grad_exact"] = sweep("grad_exact")
-    out["exact_adjoint_per_attempt_us"] = round(
-        out["grad_exact"]["per_attempt_us"] - out["exact_fwd"]["per_attempt_us"], 3)
-    out["exact_adjoint_per_nfe_us"] = round(
-        out["exact_adjoint_per_attempt_us"] / 6.0, 3)
+    adj_e = adjoint_fit(out["grad_exact"], out["exact_fwd"], True, "exact")
+    out["exact_adjoint_per_attempt_us"] = adj_e["per_attempt_us"]
+    out["exact_adjoint_per_nfe_us"] = adj_e["per_nfe_us"]
+    out["exact_adjoint_fit_method"] = adj_e["method"]
 
     # Analytic MXU-issue ceilings for the adjoint kernels (matmul-unit
     # model; see utils/profiling.stage_mxu_units) + utilizations.
